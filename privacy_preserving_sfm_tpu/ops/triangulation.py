@@ -1,0 +1,155 @@
+"""Multi-view line triangulation kernels.
+
+The core kernel solves the null space of the stacked constraint matrix with
+rows ``l_i^T P_i`` (a point X on every observed line plane satisfies
+``l_i^T P_i X_hom = 0``) — reference ``src/base/triangulation.cc:41-57``.
+
+TPU-first design: instead of an SVD of the (N, 4) matrix we take the
+eigenvector of the smallest eigenvalue of the 4x4 Gram matrix ``A^T A`` via a
+fixed-iteration Jacobi eigensolver — batched, branch-free, and much cheaper
+than ``jnp.linalg.svd`` for tall-thin stacks.  Rows can be masked, which the
+reference cannot do (it rebuilds the matrix per subset); masking is what lets
+RANSAC over observation subsets run as one batched kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from privacy_preserving_sfm_tpu.ops import linalg
+
+_JACOBI_SWEEPS = 8
+
+
+def _symmetric_eig4_smallest(G: jax.Array) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of symmetric 4x4 G (..., 4, 4).
+
+    Cyclic Jacobi with a fixed sweep count: each sweep rotates away all 6
+    off-diagonal pairs.  Converges quadratically; 8 sweeps reach fp32/fp64
+    roundoff for 4x4.
+    """
+    n = 4
+    V = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
+    A = G
+
+    def rotate(carry, pq):
+        A, V = carry
+        p, q = pq
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        # Jacobi rotation angle, safe when apq == 0.
+        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        c = jnp.cos(theta)
+        s = jnp.sin(theta)
+
+        # Build Givens rotation J (p, q, c, s) and apply: A <- J^T A J.
+        J = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape).copy()
+        J = J.at[..., p, p].set(c)
+        J = J.at[..., q, q].set(c)
+        J = J.at[..., p, q].set(s)
+        J = J.at[..., q, p].set(-s)
+        A = jnp.einsum("...ji,...jk,...kl->...il", J, A, J)
+        V = jnp.einsum("...ij,...jk->...ik", V, J)
+        return (A, V), None
+
+    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
+    for _ in range(_JACOBI_SWEEPS):
+        for pq in pairs:
+            (A, V), _ = rotate((A, V), pq)
+
+    idx = jnp.argmin(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    v = jnp.take_along_axis(V, idx[..., None, None].repeat(n, -2), axis=-1)
+    return v[..., 0]
+
+
+def triangulate_multiview_lines(
+    proj: jax.Array,
+    lines: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """DLT triangulation from point-to-line constraints.
+
+    Args:
+      proj:  (..., N, 3, 4) projection matrices per observation.
+      lines: (..., N, 3) normalized lines per observation.
+      mask:  optional (..., N) bool; masked-out rows contribute nothing.
+
+    Returns:
+      (..., 3) triangulated point (hnormalized null-space vector).
+
+    Twin of ``TriangulateMultiViewPoint`` (``triangulation.cc:41-57``), with
+    the SVD replaced by a 4x4 Gram eigensolve and row masking added.
+    """
+    rows = jnp.einsum("...ni,...nij->...nj", lines, proj)  # (..., N, 4)
+    if mask is not None:
+        rows = rows * mask[..., None].astype(rows.dtype)
+    # Scale-normalize rows for conditioning (masked rows stay zero).
+    norm = jnp.linalg.norm(rows, axis=-1, keepdims=True)
+    rows = rows / jnp.maximum(norm, 1e-12)
+    G = jnp.einsum("...ni,...nj->...ij", rows, rows)
+    X = _symmetric_eig4_smallest(G)
+    w = X[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    X_h = X[..., :3] / w_safe[..., None]
+
+    # fp32 rescue: the Gram eigensolve squares the condition number, which
+    # loses ill-conditioned points in single precision.  The residual
+    # r_i = rows_i . (X, 1) is *linear* in X, so one inhomogeneous
+    # least-squares solve (+ one iterative-refinement pass) is the exact
+    # Gauss-Newton step; keep whichever candidate has lower residual.
+    A = rows[..., :3]
+    b = -rows[..., 3]
+    reg = 1e-12 if rows.dtype == jnp.float64 else 1e-8
+    X_l = linalg.lstsq_normal3(A, b, reg_scale=reg, refine=1)
+
+    def resid(Xc):
+        return jnp.sum(
+            (jnp.einsum("...ni,...i->...n", A, Xc) - b) ** 2, axis=-1)
+
+    X_h = jnp.where(jnp.isfinite(X_h), X_h, 0.0)
+    X_l = jnp.where(jnp.isfinite(X_l), X_l, 0.0)
+    use_h = resid(X_h) < resid(X_l)
+    return jnp.where(use_h[..., None], X_h, X_l)
+
+
+def triangulate_linear(
+    proj: jax.Array,
+    lines: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Inhomogeneous linear triangulation: solve A x = b, rows ``l^T R | -l^T t``.
+
+    The init module's 4-view variant (``initializer.cc:219-233``) solves the
+    3-unknown least-squares system directly; this is that kernel, batched,
+    with optional masking via zeroed rows.
+    """
+    A = jnp.einsum("...ni,...nij->...nj", lines, proj[..., :, :3])  # (..., N, 3)
+    b = -jnp.einsum("...ni,...ni->...n", lines, proj[..., :, 3])  # (..., N)
+    if mask is not None:
+        m = mask.astype(A.dtype)
+        A = A * m[..., None]
+        b = b * m
+    return linalg.lstsq_normal3(A, b, reg_scale=1e-14, refine=1)
+
+
+def triangulation_angle(
+    center1: jax.Array, center2: jax.Array, points3d: jax.Array
+) -> jax.Array:
+    """Minimum enclosing angle between the two viewing rays (radians).
+
+    Law-of-cosines form of ``CalculateTriangulationAngle``
+    (``triangulation.cc:59-82``); returns min(angle, pi - angle).
+    """
+    baseline2 = jnp.sum((center1 - center2) ** 2, axis=-1)
+    ray1_2 = jnp.sum((points3d - center1) ** 2, axis=-1)
+    ray2_2 = jnp.sum((points3d - center2) ** 2, axis=-1)
+    denom = 2.0 * jnp.sqrt(ray1_2 * ray2_2)
+    nom = ray1_2 + ray2_2 - baseline2
+    cos = jnp.clip(nom / jnp.maximum(denom, 1e-30), -1.0, 1.0)
+    angle = jnp.abs(jnp.arccos(cos))
+    angle = jnp.where(denom <= 0.0, jnp.zeros_like(angle), angle)
+    return jnp.minimum(angle, jnp.pi - angle)
