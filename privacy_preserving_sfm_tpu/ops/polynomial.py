@@ -92,13 +92,27 @@ def aberth_roots(c: jax.Array, iters: int = ABERTH_ITERS) -> jax.Array:
     # Normalize to monic for numerical sanity.
     cn = c[..., -1:]
     cn_safe = jnp.where(jnp.abs(cn) < 1e-30, 1e-30, cn)
-    cm = (c / cn_safe).astype(cdtype)
+    cm = c / cn_safe
 
-    z = _initial_roots(c, degree)  # (..., degree)
+    # Root-magnitude scaling: substitute x = s * u with s ~ the geometric
+    # mean root magnitude |c0 / cN|^(1/N), so Aberth's initial circle sits
+    # near the roots even when coefficients span many orders of magnitude
+    # (otherwise convergence from a 1e8 radius needs hundreds of steps).
+    c0 = jnp.abs(cm[..., :1])
+    s = jnp.power(jnp.maximum(c0, 1e-30), 1.0 / degree)
+    s = jnp.clip(s, 1e-6, 1e6)
+    k = jnp.arange(degree + 1, dtype=c.dtype)
+    cm = cm * jnp.power(s, k)  # coefficients of p(s u) (up to overall scale)
+    cm = cm / jnp.maximum(jnp.max(jnp.abs(cm), axis=-1, keepdims=True), 1e-30)
+    cm = cm.astype(cdtype)
+
+    z = _initial_roots(jnp.real(cm).astype(c.dtype), degree)  # (..., degree)
+    cmb = cm[..., None, :]  # broadcast coefficients over the root axis
+    dcmb = polyder(cm)[..., None, :]
 
     def body(_, z):
-        p = polyval(cm, z)
-        dp = polyval(polyder(cm), z)
+        p = polyval(cmb, z)
+        dp = polyval(dcmb, z)
         dp = jnp.where(jnp.abs(dp) < 1e-30, 1e-30 + 0j, dp)
         newton = p / dp
         # Pairwise repulsion sum_{j != i} 1 / (z_i - z_j).
@@ -114,7 +128,8 @@ def aberth_roots(c: jax.Array, iters: int = ABERTH_ITERS) -> jax.Array:
         step = jnp.where(jnp.isfinite(step), step, 0.0 + 0j)
         return z - step
 
-    return jax.lax.fori_loop(0, iters, body, z)
+    u = jax.lax.fori_loop(0, iters, body, z)
+    return u * s.astype(cdtype)  # undo the x = s * u substitution
 
 
 def real_roots(c: jax.Array, imag_tol: float = 1e-6,
@@ -133,14 +148,6 @@ def real_roots(c: jax.Array, imag_tol: float = 1e-6,
     cn_safe = jnp.where(jnp.abs(cn) < 1e-30, 1e-30, cn)
     cm = c / cn_safe
     dcm = polyder(cm)
-
-    def polish(_, x):
-        p = polyval(cm[..., None, :] if cm.ndim == x.ndim else cm, x)
-        dp = polyval(dcm[..., None, :] if dcm.ndim == x.ndim else dcm, x)
-        dp = jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
-        step = p / dp
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
-        return x - step
 
     # Broadcast coefficient row over the root axis for polyval.
     cmb = jnp.broadcast_to(cm[..., None, :], x.shape + (cm.shape[-1],))
