@@ -78,6 +78,87 @@ def solve_spd(A: jax.Array, b: jax.Array, damping: float = 0.0) -> jax.Array:
     raise ValueError(f"solve_spd only supports n<=3, got {n}")
 
 
+_JACOBI_SWEEPS = 10
+
+
+def symmetric_eig_smallest(G: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (..., n, n) G.
+
+    Fixed-sweep cyclic Jacobi, unrolled over the static pair list — no
+    data-dependent control flow, so it vectorizes and compiles to
+    straight-line code.  Intended for small n (<= 10-ish).
+    """
+    n = G.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
+    A = G
+    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
+    for _ in range(_JACOBI_SWEEPS):
+        for p, q in pairs:
+            app = A[..., p, p]
+            aqq = A[..., q, q]
+            apq = A[..., p, q]
+            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+            J = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+            J = J.at[..., p, p].set(c)
+            J = J.at[..., q, q].set(c)
+            J = J.at[..., p, q].set(s)
+            J = J.at[..., q, p].set(-s)
+            A = jnp.einsum("...ji,...jk,...kl->...il", J, A, J)
+            V = jnp.einsum("...ij,...jk->...ik", V, J)
+    idx = jnp.argmin(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    v = jnp.take_along_axis(V, idx[..., None, None].repeat(n, -2), axis=-1)
+    v = v[..., 0]
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def gram_null_vector(A: jax.Array) -> jax.Array:
+    """Unit null-space vector of a tall (..., m, n) stack via A^T A Jacobi.
+
+    Replacement for `JacobiSVD(...).matrixV().rightCols(1)` on small n.
+    Rows are norm-balanced first to tame the squared conditioning.
+    """
+    norm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    An = A / jnp.maximum(norm, 1e-30)
+    G = jnp.einsum("...mi,...mj->...ij", An, An)
+    return symmetric_eig_smallest(G)
+
+
+def solve_gauss(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Dense solve with partial pivoting, unrolled for small static n.
+
+    Branch-free: pivot selection uses argmax + one-hot permutation matmuls.
+    A: (..., n, n), b: (..., n).  Intended for n <= ~16 (e.g. the 8x8
+    camera system of the 2D init bundle).
+    """
+    n = A.shape[-1]
+    M = jnp.concatenate([A, b[..., :, None]], axis=-1)  # (..., n, n+1)
+    for k in range(n):
+        col = jnp.abs(M[..., :, k])
+        if k > 0:
+            mask = jnp.arange(n) < k
+            col = jnp.where(mask, -jnp.inf, col)
+        piv = jnp.argmax(col, axis=-1)  # (...,)
+        # Swap rows k and piv via a gather permutation.
+        ar = jnp.arange(n)
+        idx = jnp.broadcast_to(ar, M.shape[:-2] + (n,))
+        idx = idx.at[..., k].set(piv)
+        is_piv_row = (ar == piv[..., None]) & (ar != k)
+        idx = jnp.where(is_piv_row, k, idx)
+        M = jnp.take_along_axis(M, idx[..., None], axis=-2)
+        pivot_val = M[..., k, k]
+        pivot_val = jnp.where(jnp.abs(pivot_val) < 1e-30,
+                              jnp.where(pivot_val < 0, -1e-30, 1e-30),
+                              pivot_val)
+        row_k = M[..., k, :] / pivot_val[..., None]
+        M = M.at[..., k, :].set(row_k)
+        factors = M[..., :, k]
+        factors = factors.at[..., k].set(0.0)
+        M = M - factors[..., :, None] * row_k[..., None, :]
+    return M[..., :, n]
+
+
 def lstsq_normal3(A: jax.Array, b: jax.Array, reg_scale: float = 1e-12,
                   refine: int = 1) -> jax.Array:
     """Least-squares solve of tall (..., N, 3) systems via normal equations.

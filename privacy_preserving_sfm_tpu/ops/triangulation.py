@@ -6,10 +6,12 @@ rows ``l_i^T P_i`` (a point X on every observed line plane satisfies
 
 TPU-first design: instead of an SVD of the (N, 4) matrix we take the
 eigenvector of the smallest eigenvalue of the 4x4 Gram matrix ``A^T A`` via a
-fixed-iteration Jacobi eigensolver — batched, branch-free, and much cheaper
-than ``jnp.linalg.svd`` for tall-thin stacks.  Rows can be masked, which the
-reference cannot do (it rebuilds the matrix per subset); masking is what lets
-RANSAC over observation subsets run as one batched kernel.
+fixed-iteration Jacobi eigensolver (``ops/linalg.symmetric_eig_smallest``) —
+batched, branch-free, and much cheaper than ``jnp.linalg.svd`` for tall-thin
+stacks.  Rows can be masked, which the reference cannot do (it rebuilds the
+matrix per subset); masking is what lets RANSAC over observation subsets run
+as one batched kernel.  An inhomogeneous least-squares rescue recovers fp32
+accuracy on ill-conditioned stacks.
 """
 
 from __future__ import annotations
@@ -20,51 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from privacy_preserving_sfm_tpu.ops import linalg
-
-_JACOBI_SWEEPS = 8
-
-
-def _symmetric_eig4_smallest(G: jax.Array) -> jax.Array:
-    """Eigenvector of the smallest eigenvalue of symmetric 4x4 G (..., 4, 4).
-
-    Cyclic Jacobi with a fixed sweep count: each sweep rotates away all 6
-    off-diagonal pairs.  Converges quadratically; 8 sweeps reach fp32/fp64
-    roundoff for 4x4.
-    """
-    n = 4
-    V = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
-    A = G
-
-    def rotate(carry, pq):
-        A, V = carry
-        p, q = pq
-        app = A[..., p, p]
-        aqq = A[..., q, q]
-        apq = A[..., p, q]
-        # Jacobi rotation angle, safe when apq == 0.
-        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-        c = jnp.cos(theta)
-        s = jnp.sin(theta)
-
-        # Build Givens rotation J (p, q, c, s) and apply: A <- J^T A J.
-        J = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape).copy()
-        J = J.at[..., p, p].set(c)
-        J = J.at[..., q, q].set(c)
-        J = J.at[..., p, q].set(s)
-        J = J.at[..., q, p].set(-s)
-        A = jnp.einsum("...ji,...jk,...kl->...il", J, A, J)
-        V = jnp.einsum("...ij,...jk->...ik", V, J)
-        return (A, V), None
-
-    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
-    for _ in range(_JACOBI_SWEEPS):
-        for pq in pairs:
-            (A, V), _ = rotate((A, V), pq)
-
-    idx = jnp.argmin(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
-    v = jnp.take_along_axis(V, idx[..., None, None].repeat(n, -2), axis=-1)
-    return v[..., 0]
-
 
 def triangulate_multiview_lines(
     proj: jax.Array,
@@ -91,7 +48,7 @@ def triangulate_multiview_lines(
     norm = jnp.linalg.norm(rows, axis=-1, keepdims=True)
     rows = rows / jnp.maximum(norm, 1e-12)
     G = jnp.einsum("...ni,...nj->...ij", rows, rows)
-    X = _symmetric_eig4_smallest(G)
+    X = linalg.symmetric_eig_smallest(G)
     w = X[..., 3]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     X_h = X[..., :3] / w_safe[..., None]
