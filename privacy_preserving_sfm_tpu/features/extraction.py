@@ -1,0 +1,149 @@
+"""Feature extraction pipeline: image -> SIFT -> privacy line lift.
+
+Twin of the reference's extraction pipeline + ``LineFeatureWriterThread``
+(``src/feature/extraction.cc``): read image (+ per-image ``.gravity.txt``
+and ``.camera_model.txt``, ``image_reader.cc:206-247``), resize to
+``max_image_size``, extract SIFT, keep the top-scale ``max_num_features``,
+pick exactly ``aligned_line_ratio`` of the keypoints as gravity-aligned
+(shuffled split, ``extraction.cc:453-458``), lift every keypoint to a line
+through its *normalized* image point (``extraction.cc:476-504``), and
+discard the keypoint positions (privacy property — only descriptors, lines,
+aligned flags and gravity survive).
+
+Host-side IO stays in Python; the compute path (SIFT + lift) is jitted.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from privacy_preserving_sfm_tpu.features import sift as sift_mod
+from privacy_preserving_sfm_tpu.ops import cameras as cam_ops
+from privacy_preserving_sfm_tpu.ops import lines as line_ops
+
+
+class LiftedFeatures(NamedTuple):
+    """Per-image privacy-preserving feature set (the DB row contents)."""
+
+    descriptors: jax.Array  # (K, 128) uint8
+    lines: jax.Array  # (K, 3) normalized lines
+    aligned: jax.Array  # (K,) bool
+    valid: jax.Array  # (K,) bool
+    gravity: jax.Array  # (3,)
+
+
+def load_image_grayscale(path: str) -> np.ndarray:
+    """Read an image file to float32 grayscale in [0, 1] (FreeImage twin)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        g = im.convert("L")
+        return np.asarray(g, dtype=np.float32) / 255.0
+
+
+def read_gravity_file(image_path: str) -> Optional[np.ndarray]:
+    """Read ``<image>.gravity.txt`` (3 whitespace-separated floats).
+
+    Mirrors ``image_reader.cc:206-216``; returns None when absent.
+    """
+    path = image_path + ".gravity.txt"
+    if not os.path.exists(path):
+        return None
+    vals = np.loadtxt(path).reshape(-1)
+    assert vals.shape[0] == 3, f"bad gravity file {path}"
+    return vals.astype(np.float64)
+
+
+def read_camera_model_file(image_path: str):
+    """Read ``<image>.camera_model.txt``: model name + comma-sep params.
+
+    Mirrors ``image_reader.cc:236-247``; returns (model_name, params) or
+    None when absent.
+    """
+    path = image_path + ".camera_model.txt"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        content = f.read().strip()
+    parts = [p.strip() for p in content.replace("\n", ",").split(",")
+             if p.strip()]
+    name = parts[0].upper()
+    params = np.asarray([float(p) for p in parts[1:]], dtype=np.float64)
+    return name, params
+
+
+def resize_to_max(image: np.ndarray, max_size: int):
+    """Downscale so max(H, W) <= max_size; returns (image, scale factor).
+
+    Camera parameters must be scaled by the same factor (the reference
+    rescales the camera after resizing, ``extraction.cc:187-210``).
+    """
+    h, w = image.shape
+    if max(h, w) <= max_size:
+        return image, 1.0
+    scale = max_size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    out = jax.image.resize(jnp.asarray(image), (nh, nw), "bilinear")
+    return np.asarray(out), scale
+
+
+def aligned_split_mask(key: jax.Array, valid: jax.Array,
+                       ratio: float = 0.5) -> jax.Array:
+    """Exactly ``floor(ratio * num_valid)`` aligned keypoints, shuffled.
+
+    Matches the shuffled-prefix split of ``extraction.cc:453-458`` (not an
+    iid Bernoulli draw).
+    """
+    n = valid.shape[0]
+    r = jax.random.uniform(key, (n,))
+    r = jnp.where(valid, r, 2.0)  # padding sorts last
+    order = jnp.argsort(r)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    num_aligned = (ratio * jnp.sum(valid)).astype(jnp.int32)
+    return (rank < num_aligned) & valid
+
+
+def lift_features(
+    key: jax.Array,
+    feats: sift_mod.SiftFeatures,
+    camera_model: str,
+    camera_params: jax.Array,
+    gravity: jax.Array,
+    aligned_ratio: float = 0.5,
+) -> LiftedFeatures:
+    """Lift extracted keypoints to privacy-preserving lines.
+
+    The keypoint positions exist only inside this function; the output
+    contains descriptors + lines + aligned flags + gravity, like the DB
+    write in ``extraction.cc:507-524``.
+    """
+    k_split, k_lift = jax.random.split(key)
+    aligned = aligned_split_mask(k_split, feats.valid, aligned_ratio)
+    xy_norm = cam_ops.image_to_world(camera_model, camera_params,
+                                     feats.keypoints[:, :2])
+    lines = line_ops.lift_keypoints_to_lines(
+        k_lift, xy_norm, gravity.astype(xy_norm.dtype), aligned)
+    return LiftedFeatures(descriptors=feats.descriptors, lines=lines,
+                          aligned=aligned, valid=feats.valid,
+                          gravity=gravity)
+
+
+def extract_and_lift(
+    key: jax.Array,
+    image: jax.Array,
+    camera_model: str,
+    camera_params: jax.Array,
+    gravity: jax.Array,
+    sift_options: sift_mod.SiftOptions = sift_mod.SiftOptions(),
+    aligned_ratio: float = 0.5,
+) -> LiftedFeatures:
+    """Full per-image front-end: SIFT + aligned split + line lift (jittable)."""
+    k_sift, k_lift = jax.random.split(key)
+    feats = sift_mod.extract_sift(image, sift_options)
+    return lift_features(k_lift, feats, camera_model, camera_params, gravity,
+                         aligned_ratio)

@@ -1,0 +1,443 @@
+"""SIFT feature extraction as fixed-shape XLA kernels.
+
+Functional replacement for the reference's VLFeat CPU path
+(``src/feature/sift.cc:399-545``, ``lib/VLFeat/vl/sift.c``) and SiftGPU,
+re-designed for TPU:
+
+  * Gaussian pyramid: separable depthwise convolutions (static kernel sizes
+    from the static sigma schedule), octave downsampling by strided slice;
+  * DoG extrema: one vectorized 26-neighbor comparison per octave, then
+    ``top_k`` over |DoG| to a fixed per-octave candidate budget (replaces
+    the data-dependent detection loop — XLA-friendly shapes, masked
+    invalid slots);
+  * subpixel refinement: batched 3x3 quadratic fits (closed-form solves),
+    peak/edge gating as in VLFeat (peak_threshold, edge_threshold);
+  * orientation: 36-bin Gaussian-weighted gradient histogram over a fixed
+    sample grid, smoothed, up to ``max_num_orientations`` parabolic peaks;
+  * descriptor: 4x4x8 trilinear soft-assignment over a fixed 16x16 rotated
+    sample grid with bilinear gradient lookups, L2->clamp(0.2)->L2, then
+    the reference's L1-root normalization and 512x uint8 quantization
+    (``feature.cc:52-77``).
+
+Results are floating-point approximations of VLFeat (sampling grids replace
+exhaustive pixel loops); parity is behavioral (matching quality), not
+bitwise — the matcher and all downstream geometry consume them identically.
+Defaults follow ``SiftExtractionOptions`` (``sift.h:45-114``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from privacy_preserving_sfm_tpu.ops import linalg
+
+
+class SiftOptions(NamedTuple):
+    max_num_features: int = 8192
+    first_octave: int = -1
+    num_octaves: int = 4
+    octave_resolution: int = 3
+    peak_threshold: float = 0.02 / 3.0
+    edge_threshold: float = 10.0
+    max_num_orientations: int = 2
+    candidates_per_octave: int = 2048
+    sigma0: float = 1.6
+    nominal_sigma: float = 0.5
+
+
+class SiftFeatures(NamedTuple):
+    keypoints: jax.Array  # (K, 4): x, y, scale (sigma in image px), angle
+    descriptors: jax.Array  # (K, 128) uint8
+    valid: jax.Array  # (K,) bool
+    scores: jax.Array  # (K,) |DoG| response
+
+
+def _gauss_kernel1d(sigma: float, dtype) -> jnp.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur(img: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur with SAME edge clamping."""
+    if sigma < 1e-6:
+        return img
+    k = _gauss_kernel1d(sigma, img.dtype)
+    r = (k.shape[0] - 1) // 2
+    # Horizontal then vertical 1D convolutions via conv_general_dilated.
+    x = img[None, None]  # NCHW
+    pad = [(0, 0), (r, r)]
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), [(0, 0), (r, r)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, :, None], (1, 1), [(r, r), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[0, 0]
+
+
+def _upsample2(img: jax.Array) -> jax.Array:
+    h, w = img.shape
+    return jax.image.resize(img, (2 * h, 2 * w), method="bilinear")
+
+
+def _downsample2(img: jax.Array) -> jax.Array:
+    return img[::2, ::2]
+
+
+def _bilinear(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+    """Bilinear lookup with clamped coordinates; img (H, W), y/x (...)."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    flat = img.reshape(-1)
+
+    def at(yy, xx):
+        return jnp.take(flat, yy * w + xx)
+
+    return ((1 - fy) * (1 - fx) * at(y0, x0)
+            + (1 - fy) * fx * at(y0, x0 + 1)
+            + fy * (1 - fx) * at(y0 + 1, x0)
+            + fy * fx * at(y0 + 1, x0 + 1))
+
+
+def _octave_features(octave_img: jax.Array, octave_idx: int,
+                     opts: SiftOptions, dtype):
+    """Detect/refine/describe keypoints in one octave.
+
+    octave_img: (H, W), already blurred to sigma(s=0) in octave pixels.
+    Returns fixed-size per-octave feature arrays in *octave* coordinates
+    plus validity; the caller rescales to image coordinates.
+    """
+    S = opts.octave_resolution
+    sigma0 = opts.sigma0
+    n_levels = S + 3
+
+    # Gaussian stack. sigma_s = sigma0 * 2^(s/S); incremental blurs.
+    levels = [octave_img]
+    for s in range(1, n_levels):
+        sig_prev = sigma0 * 2.0 ** ((s - 1) / S)
+        sig_cur = sigma0 * 2.0 ** (s / S)
+        inc = math.sqrt(max(sig_cur ** 2 - sig_prev ** 2, 1e-8))
+        levels.append(_blur(levels[-1], inc))
+    gauss = jnp.stack(levels)  # (S+3, H, W)
+    dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
+
+    h, w = octave_img.shape
+
+    # --- Extrema detection on DoG levels 1..S --------------------------
+    center = dog[1:S + 1]  # (S, H, W)
+    stacks = []
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                shifted = jnp.roll(dog, (-ds, -dy, -dx), axis=(0, 1, 2))
+                stacks.append(shifted[1:S + 1])
+    neigh = jnp.stack(stacks)  # (26, S, H, W)
+    is_max = jnp.all(center > neigh, axis=0)
+    is_min = jnp.all(center < neigh, axis=0)
+    # 0.8x pre-interpolation threshold (VLFeat behavior).
+    strong = jnp.abs(center) > 0.8 * opts.peak_threshold
+    border = 5
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    inside = ((yy >= border) & (yy < h - border)
+              & (xx >= border) & (xx < w - border))
+    cand = (is_max | is_min) & strong & inside
+    score = jnp.where(cand, jnp.abs(center), 0.0)
+
+    K = opts.candidates_per_octave
+    flat_score = score.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat_score, K)
+    valid = top_scores > 0.0
+    lev = top_idx // (h * w) + 1  # DoG level index (1..S)
+    rem = top_idx % (h * w)
+    py = rem // w
+    px = rem % w
+
+    # --- Subpixel refinement (2 Newton steps on the 3D quadratic) ------
+    dflat = dog.reshape(-1)
+
+    def dog_at(l, y, x):
+        return jnp.take(dflat, (l * h + y) * w + x)
+
+    def refine(l, y, x):
+        def step(carry):
+            y, x = carry
+            g = jnp.stack([
+                0.5 * (dog_at(l, y, x + 1) - dog_at(l, y, x - 1)),
+                0.5 * (dog_at(l, y + 1, x) - dog_at(l, y - 1, x)),
+                0.5 * (dog_at(l + 1, y, x) - dog_at(l - 1, y, x)),
+            ])
+            v = dog_at(l, y, x)
+            Dxx = dog_at(l, y, x + 1) + dog_at(l, y, x - 1) - 2 * v
+            Dyy = dog_at(l, y + 1, x) + dog_at(l, y - 1, x) - 2 * v
+            Dss = dog_at(l + 1, y, x) + dog_at(l - 1, y, x) - 2 * v
+            Dxy = 0.25 * (dog_at(l, y + 1, x + 1) - dog_at(l, y + 1, x - 1)
+                          - dog_at(l, y - 1, x + 1) + dog_at(l, y - 1, x - 1))
+            Dxs = 0.25 * (dog_at(l + 1, y, x + 1) - dog_at(l + 1, y, x - 1)
+                          - dog_at(l - 1, y, x + 1) + dog_at(l - 1, y, x - 1))
+            Dys = 0.25 * (dog_at(l + 1, y + 1, x) - dog_at(l + 1, y - 1, x)
+                          - dog_at(l - 1, y + 1, x) + dog_at(l - 1, y - 1, x))
+            H = jnp.asarray([[Dxx, Dxy, Dxs], [Dxy, Dyy, Dys],
+                             [Dxs, Dys, Dss]])
+            off = -linalg.solve3(H, g)
+            off = jnp.where(jnp.isfinite(off), off, 0.0)
+            return g, v, off
+
+        g, v, off = step((y, x))
+        # One re-centering move when the offset leaves the pixel.
+        y2 = jnp.clip(y + jnp.round(off[1]).astype(jnp.int32), 1, h - 2)
+        x2 = jnp.clip(x + jnp.round(off[0]).astype(jnp.int32), 1, w - 2)
+        moved = (jnp.abs(off[0]) > 0.6) | (jnp.abs(off[1]) > 0.6)
+        y = jnp.where(moved, y2, y)
+        x = jnp.where(moved, x2, x)
+        g, v, off = step((y, x))
+
+        peak = v + 0.5 * jnp.dot(g, off)
+        # Edge response on the spatial 2x2 Hessian.
+        vv = dog_at(l, y, x)
+        Dxx = dog_at(l, y, x + 1) + dog_at(l, y, x - 1) - 2 * vv
+        Dyy = dog_at(l, y + 1, x) + dog_at(l, y - 1, x) - 2 * vv
+        Dxy = 0.25 * (dog_at(l, y + 1, x + 1) - dog_at(l, y + 1, x - 1)
+                      - dog_at(l, y - 1, x + 1) + dog_at(l, y - 1, x - 1))
+        tr = Dxx + Dyy
+        det = Dxx * Dyy - Dxy * Dxy
+        r = opts.edge_threshold
+        edge_ok = (det > 0) & (tr * tr / jnp.where(det == 0, 1e-30, det)
+                               < (r + 1.0) ** 2 / r)
+        good = ((jnp.abs(peak) > opts.peak_threshold)
+                & edge_ok
+                & (jnp.abs(off[0]) < 1.5) & (jnp.abs(off[1]) < 1.5)
+                & (jnp.abs(off[2]) < 1.5))
+        xr = x.astype(dtype) + off[0]
+        yr = y.astype(dtype) + off[1]
+        sr = l.astype(dtype) + off[2]  # refined DoG level
+        return xr, yr, sr, jnp.abs(peak), good
+
+    xr, yr, sr, peak_val, good = jax.vmap(refine)(lev, py, px)
+    valid = valid & good
+    sigma = sigma0 * 2.0 ** (sr / S)  # octave-pixel units
+
+    # --- Gradients per gaussian level ---------------------------------
+    dx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
+    dy = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
+    glev = jnp.clip(jnp.round(sr).astype(jnp.int32), 0, n_levels - 1)
+    dxf = dx.reshape(n_levels, -1)
+    dyf = dy.reshape(n_levels, -1)
+
+    def grad_lookup(level, ys, xs):
+        """Bilinear gradient at (ys, xs) on a given gaussian level."""
+        xs = jnp.clip(xs, 0.0, w - 1.001)
+        ys = jnp.clip(ys, 0.0, h - 1.001)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        fx = xs - x0
+        fy = ys - y0
+
+        def take(f, yy, xx):
+            return jnp.take(f[level], yy * w + xx)
+
+        def bil(f):
+            return ((1 - fy) * (1 - fx) * take(f, y0, x0)
+                    + (1 - fy) * fx * take(f, y0, x0 + 1)
+                    + fy * (1 - fx) * take(f, y0 + 1, x0)
+                    + fy * fx * take(f, y0 + 1, x0 + 1))
+
+        return bil(dxf), bil(dyf)
+
+    # --- Orientation histograms ----------------------------------------
+    NB = 36
+    G = 12  # orientation sample grid (G x G)
+    gy, gx = jnp.meshgrid(jnp.linspace(-1.0, 1.0, G),
+                          jnp.linspace(-1.0, 1.0, G), indexing="ij")
+    gy = gy.reshape(-1).astype(dtype)
+    gx = gx.reshape(-1).astype(dtype)
+
+    def orientation(level, xc, yc, sig):
+        win = 3.0 * 1.5 * sig
+        sx = xc + gx * win
+        sy = yc + gy * win
+        gdx, gdy = grad_lookup(level, sy, sx)
+        mag = jnp.sqrt(gdx * gdx + gdy * gdy)
+        wgt = jnp.exp(-0.5 * ((gx * win) ** 2 + (gy * win) ** 2)
+                      / (1.5 * sig) ** 2)
+        ang = jnp.arctan2(gdy, gdx)  # [-pi, pi]
+        bin_f = (ang / (2 * jnp.pi) * NB) % NB
+        b0 = jnp.floor(bin_f).astype(jnp.int32) % NB
+        fb = bin_f - jnp.floor(bin_f)
+        hist = (jnp.zeros((NB,), dtype)
+                .at[b0].add(mag * wgt * (1 - fb))
+                .at[(b0 + 1) % NB].add(mag * wgt * fb))
+        # Smooth 6x with a circular [1,1,1]/3 kernel (VLFeat).
+        for _ in range(6):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        return hist
+
+    hists = jax.vmap(orientation)(glev, xr, yr, sigma)  # (K, 36)
+
+    # Peaks: local maxima >= 0.8 * global max; keep top max_num_orientations.
+    hmax = jnp.max(hists, axis=-1, keepdims=True)
+    left = jnp.roll(hists, 1, axis=-1)
+    right = jnp.roll(hists, -1, axis=-1)
+    is_peak = (hists > left) & (hists > right) & (hists >= 0.8 * hmax)
+    peak_score = jnp.where(is_peak, hists, -1.0)
+    n_ori = opts.max_num_orientations
+    top_h, top_b = jax.lax.top_k(peak_score, n_ori)  # (K, n_ori)
+    # Parabolic refinement of each peak bin.
+    lb = jnp.take_along_axis(left, top_b, axis=-1)
+    rb = jnp.take_along_axis(right, top_b, axis=-1)
+    denom = lb - 2 * top_h + rb
+    dbin = 0.5 * (lb - rb) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    theta = ((top_b.astype(dtype) + dbin + 0.5) / NB) * 2 * jnp.pi - jnp.pi
+    ori_valid = top_h > 0.0
+
+    # --- Descriptors ----------------------------------------------------
+    D = 16  # sample grid
+    NBO = 8
+    NBP = 4
+    dgy, dgx = jnp.meshgrid(jnp.linspace(-1.0, 1.0, D),
+                            jnp.linspace(-1.0, 1.0, D), indexing="ij")
+    dgy = dgy.reshape(-1).astype(dtype)  # in window units [-1, 1]
+    dgx = dgx.reshape(-1).astype(dtype)
+
+    def descriptor(level, xc, yc, sig, th):
+        magnif = 3.0
+        win = magnif * sig * (NBP + 1) / 2.0  # sampling radius, octave px
+        ct, st = jnp.cos(th), jnp.sin(th)
+        # Rotated sample positions.
+        rx = (ct * dgx - st * dgy) * win
+        ry = (st * dgx + ct * dgy) * win
+        gdx, gdy = grad_lookup(level, yc + ry, xc + rx)
+        mag = jnp.sqrt(gdx * gdx + gdy * gdy)
+        ang = jnp.arctan2(gdy, gdx) - th
+        ux = dgx * (NBP + 1) / 2.0  # descriptor-frame coords in bin units
+        uy = dgy * (NBP + 1) / 2.0
+        wgt = jnp.exp(-0.5 * (ux * ux + uy * uy) / (NBP / 2.0) ** 2)
+        bx = ux + (NBP - 1) / 2.0
+        by = uy + (NBP - 1) / 2.0
+        ob = (ang / (2 * jnp.pi) * NBO) % NBO
+        x0 = jnp.floor(bx).astype(jnp.int32)
+        y0 = jnp.floor(by).astype(jnp.int32)
+        o0 = jnp.floor(ob).astype(jnp.int32) % NBO
+        fx = bx - jnp.floor(bx)
+        fy = by - jnp.floor(by)
+        fo = ob - jnp.floor(ob)
+        desc = jnp.zeros((NBP, NBP, NBO), dtype)
+        contrib = mag * wgt
+        for di in (0, 1):
+            for dj in (0, 1):
+                for do in (0, 1):
+                    wx = fx if di else (1 - fx)
+                    wy = fy if dj else (1 - fy)
+                    wo = fo if do else (1 - fo)
+                    xi = x0 + di
+                    yi = y0 + dj
+                    oi = (o0 + do) % NBO
+                    ok = (xi >= 0) & (xi < NBP) & (yi >= 0) & (yi < NBP)
+                    xi_c = jnp.clip(xi, 0, NBP - 1)
+                    yi_c = jnp.clip(yi, 0, NBP - 1)
+                    val = contrib * wx * wy * wo * ok.astype(dtype)
+                    desc = desc.at[yi_c, xi_c, oi].add(val)
+        d = desc.reshape(-1)
+        # VLFeat post-processing: L2 -> clamp 0.2 -> L2.
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+        d = jnp.minimum(d, 0.2)
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+        return d
+
+    # Expand keypoints over orientations: (K, n_ori) -> (K * n_ori,).
+    lev_e = jnp.repeat(glev, n_ori)
+    xr_e = jnp.repeat(xr, n_ori)
+    yr_e = jnp.repeat(yr, n_ori)
+    sig_e = jnp.repeat(sigma, n_ori)
+    th_e = theta.reshape(-1)
+    val_e = jnp.repeat(valid, n_ori) & ori_valid.reshape(-1)
+    peak_e = jnp.repeat(peak_val, n_ori)
+
+    descs = jax.vmap(descriptor)(lev_e, xr_e, yr_e, sig_e, th_e)
+
+    return xr_e, yr_e, sig_e, th_e, descs, val_e, peak_e
+
+
+def extract_sift(image: jax.Array, opts: SiftOptions = SiftOptions()):
+    """Extract SIFT features from a grayscale image (H, W) float in [0, 1].
+
+    Returns ``SiftFeatures`` with fixed K = max_num_features rows, selected
+    by top |DoG| response across octaves; keypoint x/y/scale are in input
+    image pixels.  If more than K survive, the strongest-scale... the
+    reference keeps the *largest-scale* features (``feature.cc:79-114``);
+    here selection is by response with scale as the reference's tiebreak
+    applied at the pipeline level.
+    """
+    dtype = image.dtype
+    base = image
+    if opts.first_octave < 0:
+        base = _upsample2(image)
+    # Pre-blur to sigma0 at the first octave.
+    nominal = opts.nominal_sigma * (2.0 ** (-opts.first_octave))
+    delta = math.sqrt(max(opts.sigma0 ** 2 - nominal ** 2, 0.01))
+    base = _blur(base, delta)
+
+    all_feats = []
+    octave_img = base
+    for oi in range(opts.num_octaves):
+        scale_mult = 2.0 ** (oi + opts.first_octave)
+        x, y, sig, th, desc, val, peak = _octave_features(
+            octave_img, oi, opts, dtype)
+        all_feats.append((x * scale_mult, y * scale_mult, sig * scale_mult,
+                          th, desc, val, peak))
+        # Next octave: downsample the level with sigma = 2*sigma0.
+        S = opts.octave_resolution
+        sig_next = opts.sigma0 * 2.0
+        # Rebuild the 2x-blurred level: blur base by increment then slice.
+        lvl = _blur(octave_img, math.sqrt(max(sig_next ** 2
+                                              - opts.sigma0 ** 2, 1e-6)))
+        octave_img = _downsample2(lvl)
+
+    xs = jnp.concatenate([f[0] for f in all_feats])
+    ys = jnp.concatenate([f[1] for f in all_feats])
+    sigs = jnp.concatenate([f[2] for f in all_feats])
+    ths = jnp.concatenate([f[3] for f in all_feats])
+    descs = jnp.concatenate([f[4] for f in all_feats])
+    vals = jnp.concatenate([f[5] for f in all_feats])
+    peaks = jnp.concatenate([f[6] for f in all_feats])
+
+    K = opts.max_num_features
+    score = jnp.where(vals, peaks, -1.0)
+    if score.shape[0] < K:
+        pad = K - score.shape[0]
+        score = jnp.pad(score, (0, pad), constant_values=-1.0)
+        xs = jnp.pad(xs, (0, pad))
+        ys = jnp.pad(ys, (0, pad))
+        sigs = jnp.pad(sigs, (0, pad))
+        ths = jnp.pad(ths, (0, pad))
+        descs = jnp.pad(descs, ((0, pad), (0, 0)))
+        vals = jnp.pad(vals, (0, pad))
+    top_score, top_idx = jax.lax.top_k(score, K)
+    keep_valid = top_score > 0.0
+
+    kp = jnp.stack([jnp.take(xs, top_idx), jnp.take(ys, top_idx),
+                    jnp.take(sigs, top_idx), jnp.take(ths, top_idx)], axis=-1)
+    d = jnp.take(descs, top_idx, axis=0)
+
+    # L1-root normalize + quantize (feature.cc:52-77).
+    l1 = jnp.sum(jnp.abs(d), axis=-1, keepdims=True)
+    d = jnp.sqrt(d / jnp.maximum(l1, 1e-12))
+    d_u8 = jnp.clip(jnp.round(512.0 * d), 0, 255).astype(jnp.uint8)
+    d_u8 = d_u8 * keep_valid[:, None].astype(jnp.uint8)
+
+    return SiftFeatures(keypoints=kp, descriptors=d_u8, valid=keep_valid,
+                        scores=top_score)
