@@ -1,0 +1,502 @@
+"""Reconstruction data model (cameras, images with lines, 3D points, tracks).
+
+Host-side mirror of ``src/base/reconstruction.{h,cc}``, ``image.{h,cc}``,
+``point3d.h``, ``track.h`` with SoA numpy per-image line storage.  The
+filtering rules, Normalize semantics, and the text model format are
+reproduced exactly (see the per-method docstrings), so models written here
+are readable by the reference tooling and the MATLAB evaluation scripts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from privacy_preserving_sfm_tpu.ops.cameras import MODELS
+
+_INVALID = -1
+
+
+@dataclasses.dataclass
+class Camera:
+    camera_id: int
+    model: str
+    width: int
+    height: int
+    params: np.ndarray
+
+    def mean_focal_length(self) -> float:
+        spec = MODELS[self.model]
+        return float(np.mean([self.params[i] for i in spec.focal_idxs]))
+
+    def image_to_world_threshold(self, threshold: float) -> float:
+        return threshold / self.mean_focal_length()
+
+
+@dataclasses.dataclass
+class Image:
+    """Per-image state: pose, gravity, feature lines, 3D-point links."""
+
+    image_id: int
+    name: str
+    camera_id: int
+    qvec: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    tvec: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    gravity: Optional[np.ndarray] = None
+    lines: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    aligned: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, bool))
+    point3d_ids: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64))
+    registered: bool = False
+    num_reg_trials: int = 0
+
+    def __post_init__(self):
+        if self.point3d_ids.shape[0] != self.lines.shape[0]:
+            self.point3d_ids = np.full(self.lines.shape[0], _INVALID,
+                                       np.int64)
+
+    @property
+    def num_lines(self) -> int:
+        return self.lines.shape[0]
+
+    def num_points3d(self) -> int:
+        return int((self.point3d_ids != _INVALID).sum())
+
+    def projection_matrix(self) -> np.ndarray:
+        from privacy_preserving_sfm_tpu.ops import lie
+        import jax.numpy as jnp
+        return np.asarray(lie.pose_compose(jnp.asarray(self.qvec),
+                                           jnp.asarray(self.tvec)))
+
+    def projection_center(self) -> np.ndarray:
+        from privacy_preserving_sfm_tpu.ops import lie
+        import jax.numpy as jnp
+        return np.asarray(lie.projection_center(jnp.asarray(self.qvec),
+                                                jnp.asarray(self.tvec)))
+
+
+@dataclasses.dataclass
+class Point3D:
+    xyz: np.ndarray
+    track: List[Tuple[int, int]]  # (image_id, line_idx)
+    error: float = -1.0
+    color: Tuple[int, int, int] = (0, 0, 0)
+
+
+class Reconstruction:
+    """Mutable scene model with reference-equivalent bookkeeping."""
+
+    def __init__(self):
+        self.cameras: Dict[int, Camera] = {}
+        self.images: Dict[int, Image] = {}
+        self.points3d: Dict[int, Point3D] = {}
+        self._next_point_id = 1
+        self.reg_image_ids: List[int] = []
+
+    # -- basic bookkeeping ----------------------------------------------
+
+    def add_camera(self, camera: Camera):
+        self.cameras[camera.camera_id] = camera
+
+    def add_image(self, image: Image):
+        self.images[image.image_id] = image
+
+    def register_image(self, image_id: int):
+        img = self.images[image_id]
+        if not img.registered:
+            img.registered = True
+            self.reg_image_ids.append(image_id)
+
+    def deregister_image(self, image_id: int):
+        """Remove all observations of the image and unregister it
+        (``reconstruction.cc`` DeRegisterImage semantics)."""
+        img = self.images[image_id]
+        for line_idx in np.nonzero(img.point3d_ids != _INVALID)[0]:
+            self.delete_observation(image_id, int(line_idx))
+        img.registered = False
+        if image_id in self.reg_image_ids:
+            self.reg_image_ids.remove(image_id)
+
+    def num_registered(self) -> int:
+        return len(self.reg_image_ids)
+
+    # -- points and tracks ----------------------------------------------
+
+    def add_point3d(self, xyz: np.ndarray,
+                    track: List[Tuple[int, int]]) -> int:
+        pid = self._next_point_id
+        self._next_point_id += 1
+        self.points3d[pid] = Point3D(xyz=np.asarray(xyz, float),
+                                     track=list(track))
+        for image_id, line_idx in track:
+            img = self.images[image_id]
+            assert img.point3d_ids[line_idx] == _INVALID
+            img.point3d_ids[line_idx] = pid
+        return pid
+
+    def add_observation(self, point3d_id: int, image_id: int, line_idx: int):
+        img = self.images[image_id]
+        assert img.point3d_ids[line_idx] == _INVALID
+        img.point3d_ids[line_idx] = point3d_id
+        self.points3d[point3d_id].track.append((image_id, line_idx))
+
+    def delete_observation(self, image_id: int, line_idx: int):
+        img = self.images[image_id]
+        pid = int(img.point3d_ids[line_idx])
+        if pid == _INVALID:
+            return
+        pt = self.points3d[pid]
+        pt.track.remove((image_id, line_idx))
+        img.point3d_ids[line_idx] = _INVALID
+        # A track below 2 observations dies (reference DeleteObservation).
+        if len(pt.track) < 2:
+            self.delete_point3d(pid)
+
+    def delete_point3d(self, point3d_id: int):
+        pt = self.points3d.pop(point3d_id, None)
+        if pt is None:
+            return
+        for image_id, line_idx in pt.track:
+            self.images[image_id].point3d_ids[line_idx] = _INVALID
+
+    def merge_points3d(self, pid1: int, pid2: int) -> int:
+        """Track-length weighted centroid merge (``reconstruction.cc``
+        MergePoints3D)."""
+        p1, p2 = self.points3d[pid1], self.points3d[pid2]
+        n1, n2 = len(p1.track), len(p2.track)
+        xyz = (n1 * p1.xyz + n2 * p2.xyz) / (n1 + n2)
+        track = list(p1.track) + list(p2.track)
+        for image_id, line_idx in p1.track:
+            self.images[image_id].point3d_ids[line_idx] = _INVALID
+        for image_id, line_idx in p2.track:
+            self.images[image_id].point3d_ids[line_idx] = _INVALID
+        del self.points3d[pid1]
+        del self.points3d[pid2]
+        pid = self._next_point_id
+        self._next_point_id += 1
+        self.points3d[pid] = Point3D(xyz=xyz, track=track)
+        for image_id, line_idx in track:
+            self.images[image_id].point3d_ids[line_idx] = pid
+        return pid
+
+    # -- errors and filtering -------------------------------------------
+
+    def _squared_line_reproj_error(self, image: Image, line_idx: int,
+                                   xyz: np.ndarray) -> float:
+        import jax.numpy as jnp
+        from privacy_preserving_sfm_tpu.ops import lines as line_ops
+
+        cam = self.cameras[image.camera_id]
+        proj = image.projection_matrix()
+        err = line_ops.squared_line_reprojection_error(
+            jnp.asarray(image.lines[line_idx]), jnp.asarray(xyz),
+            jnp.asarray(proj), cam.model, jnp.asarray(cam.params),
+            cam.width, cam.height)
+        return float(err)
+
+    def filter_points3d(self, max_reproj_error: float, min_tri_angle_deg: float,
+                        point3d_ids: Optional[Set[int]] = None) -> int:
+        """Combined filter used after BA (``FilterPoints3D``):
+        reprojection-error filter then small-tri-angle filter."""
+        ids = set(self.points3d.keys()) if point3d_ids is None \
+            else set(point3d_ids)
+        n = self.filter_points3d_large_reproj_error(max_reproj_error, ids)
+        n += self.filter_points3d_small_tri_angle(min_tri_angle_deg, ids)
+        return n
+
+    def filter_points3d_large_reproj_error(
+            self, max_reproj_error: float, point3d_ids: Set[int]) -> int:
+        """Exact semantics of ``reconstruction.cc:657-720``: delete tracks
+        with no random line or < 3 observations; then per-observation pixel
+        error thresholding; delete the whole point when
+        #bad >= track_len - 3."""
+        max_sq = max_reproj_error ** 2
+        num_filtered = 0
+        for pid in list(point3d_ids):
+            pt = self.points3d.get(pid)
+            if pt is None:
+                continue
+            have_random = any(
+                not self.images[iid].aligned[li] for iid, li in pt.track)
+            if not have_random or len(pt.track) < 3:
+                num_filtered += len(pt.track)
+                self.delete_point3d(pid)
+                continue
+            errors = []
+            to_delete = []
+            err_sum = 0.0
+            for iid, li in pt.track:
+                sq = self._squared_line_reproj_error(self.images[iid], li,
+                                                     pt.xyz)
+                if sq > max_sq:
+                    to_delete.append((iid, li))
+                else:
+                    err_sum += np.sqrt(sq)
+            if len(to_delete) >= len(pt.track) - 3:
+                num_filtered += len(pt.track)
+                self.delete_point3d(pid)
+            else:
+                num_filtered += len(to_delete)
+                for iid, li in to_delete:
+                    self.delete_observation(iid, li)
+                if pid in self.points3d:
+                    pt.error = err_sum / len(pt.track)
+        return num_filtered
+
+    def filter_points3d_small_tri_angle(
+            self, min_tri_angle_deg: float, point3d_ids: Set[int]) -> int:
+        """``reconstruction.cc:594-654``: delete when no image pair in the
+        track reaches the minimum triangulation angle."""
+        import jax.numpy as jnp
+        from privacy_preserving_sfm_tpu.ops import triangulation as tri_ops
+
+        min_rad = np.deg2rad(min_tri_angle_deg)
+        centers = {}
+        num_filtered = 0
+        for pid in list(point3d_ids):
+            pt = self.points3d.get(pid)
+            if pt is None:
+                continue
+            keep = False
+            track = pt.track
+            for i1 in range(len(track)):
+                iid1 = track[i1][0]
+                if iid1 not in centers:
+                    centers[iid1] = self.images[iid1].projection_center()
+                for i2 in range(i1):
+                    iid2 = track[i2][0]
+                    ang = float(tri_ops.triangulation_angle(
+                        jnp.asarray(centers[iid1]), jnp.asarray(centers[iid2]),
+                        jnp.asarray(pt.xyz)))
+                    if ang >= min_rad:
+                        keep = True
+                        break
+                if keep:
+                    break
+            if not keep:
+                num_filtered += 1
+                self.delete_point3d(pid)
+        return num_filtered
+
+    def filter_observations_with_negative_depth(self) -> int:
+        """``reconstruction.cc:442``-ish: drop observations behind camera."""
+        n = 0
+        for pid in list(self.points3d.keys()):
+            pt = self.points3d.get(pid)
+            if pt is None:
+                continue
+            for iid, li in list(pt.track):
+                img = self.images[iid]
+                proj = img.projection_matrix()
+                z = proj[2, :3] @ pt.xyz + proj[2, 3]
+                if z <= 0:
+                    self.delete_observation(iid, li)
+                    n += 1
+        return n
+
+    def filter_images(self, min_focal_ratio=0.1, max_focal_ratio=10.0,
+                      max_extra_param=1.0) -> List[int]:
+        """De-register images with no 3D points or bogus cameras
+        (``reconstruction.cc`` FilterImages)."""
+        filtered = []
+        from privacy_preserving_sfm_tpu.ops import cameras as cam_ops
+        for iid in list(self.reg_image_ids):
+            img = self.images[iid]
+            cam = self.cameras[img.camera_id]
+            bogus = cam_ops.has_bogus_params(
+                cam.model, cam.params, cam.width, cam.height,
+                min_focal_ratio, max_focal_ratio, max_extra_param)
+            if img.num_points3d() == 0 or bogus:
+                filtered.append(iid)
+        for iid in filtered:
+            self.deregister_image(iid)
+        return filtered
+
+    def compute_mean_reprojection_error(self) -> float:
+        errs = [p.error for p in self.points3d.values() if p.error >= 0]
+        return float(np.mean(errs)) if errs else 0.0
+
+    def compute_mean_track_length(self) -> float:
+        if not self.points3d:
+            return 0.0
+        return float(np.mean([len(p.track) for p in self.points3d.values()]))
+
+    def num_observations(self) -> int:
+        return sum(len(p.track) for p in self.points3d.values())
+
+    # -- normalization ---------------------------------------------------
+
+    def normalize(self, extent: float = 10.0, p0: float = 0.1,
+                  p1: float = 0.9, use_images: bool = True):
+        """Robust-bbox rescale + recenter (``reconstruction.cc:302-361``)."""
+        if use_images and len(self.reg_image_ids) < 2:
+            return
+        if not use_images and len(self.points3d) < 2:
+            return
+        if use_images:
+            coords = np.stack([self.images[i].projection_center()
+                               for i in self.reg_image_ids])
+        else:
+            coords = np.stack([p.xyz for p in self.points3d.values()])
+        coords_sorted = np.sort(coords.astype(np.float32), axis=0)
+        n = coords_sorted.shape[0]
+        P0 = int(p0 * (n - 1)) if n > 3 else 0
+        P1 = int(p1 * (n - 1)) if n > 3 else n - 1
+        bbox_min = coords_sorted[P0]
+        bbox_max = coords_sorted[P1]
+        mean_coord = coords_sorted[P0:P1 + 1].mean(axis=0).astype(np.float64)
+        old_extent = float(np.linalg.norm(bbox_max - bbox_min))
+        scale = 1.0 if old_extent < 1e-15 else extent / old_extent
+        self.transform(scale, np.eye(3), -scale * mean_coord)
+
+    def transform(self, scale: float, R: np.ndarray, t: np.ndarray):
+        """Apply similarity x -> scale * R x + t to the world frame."""
+        from privacy_preserving_sfm_tpu.ops import lie
+        import jax.numpy as jnp
+        for img in self.images.values():
+            if not img.registered:
+                continue
+            # World->cam: x_c = Rc x_w + tc; new world coords:
+            # x_w = (R^T (x'_w - t)) / scale
+            Rc = np.asarray(lie.quat_to_rotmat(jnp.asarray(img.qvec)))
+            Rc_new = Rc @ R.T
+            t_new = img.tvec * scale - Rc_new @ t
+            img.qvec = np.asarray(lie.rotmat_to_quat(jnp.asarray(Rc_new)))
+            img.tvec = t_new
+        for pt in self.points3d.values():
+            pt.xyz = scale * (R @ pt.xyz) + t
+
+    # -- text model IO (reference-compatible) ----------------------------
+
+    def write_text(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        self._write_cameras_text(os.path.join(path, "cameras.txt"))
+        self._write_images_text(os.path.join(path, "images.txt"))
+        self._write_points3d_text(os.path.join(path, "points3D.txt"))
+
+    def _write_cameras_text(self, path: str):
+        with open(path, "w") as f:
+            f.write("# Camera list with one line of data per camera:\n")
+            f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+            f.write(f"# Number of cameras: {len(self.cameras)}\n")
+            for cid in sorted(self.cameras):
+                c = self.cameras[cid]
+                params = " ".join(repr(float(p)) for p in c.params)
+                f.write(f"{cid} {c.model} {c.width} {c.height} {params}\n")
+
+    def _write_images_text(self, path: str):
+        mean_obs = (self.num_observations() / max(1, len(self.reg_image_ids)))
+        with open(path, "w") as f:
+            f.write("# Image list with two lines of data per image:\n")
+            f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, "
+                    "NAME\n")
+            f.write("#   LINES2D[] as (A, B, C, is_aligned, POINT3D_ID)\n")
+            f.write(f"# Number of images: {len(self.reg_image_ids)}, "
+                    f"mean observations per image: {mean_obs}\n")
+            for iid in sorted(self.images):
+                img = self.images[iid]
+                if not img.registered:
+                    continue
+                q = [float(v) for v in img.qvec / np.linalg.norm(img.qvec)]
+                t = [float(v) for v in img.tvec]
+                f.write(f"{iid} {q[0]!r} {q[1]!r} {q[2]!r} {q[3]!r} "
+                        f"{t[0]!r} {t[1]!r} {t[2]!r} "
+                        f"{img.camera_id} {img.name}\n")
+                parts = []
+                for j in range(img.num_lines):
+                    a, b, c = (float(v) for v in img.lines[j])
+                    al = "1" if img.aligned[j] else "0"
+                    pid = int(img.point3d_ids[j])
+                    parts.append(f"{a!r} {b!r} {c!r} {al} "
+                                 f"{pid if pid != _INVALID else -1}")
+                f.write(" ".join(parts) + "\n")
+
+    def _write_points3d_text(self, path: str):
+        mean_track = self.compute_mean_track_length()
+        with open(path, "w") as f:
+            f.write("# 3D point list with one line of data per point:\n")
+            f.write("#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                    "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
+            f.write(f"# Number of points: {len(self.points3d)}, "
+                    f"mean track length: {mean_track}\n")
+            for pid in sorted(self.points3d):
+                p = self.points3d[pid]
+                track = " ".join(f"{iid} {li}" for iid, li in p.track)
+                r, g, b = p.color
+                x, y, z = (float(v) for v in p.xyz)
+                f.write(f"{pid} {x!r} {y!r} {z!r} "
+                        f"{r} {g} {b} {float(p.error)!r} {track}\n")
+
+    @classmethod
+    def read_text(cls, path: str) -> "Reconstruction":
+        rec = cls()
+        with open(os.path.join(path, "cameras.txt")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                cid = int(parts[0])
+                rec.add_camera(Camera(
+                    camera_id=cid, model=parts[1], width=int(parts[2]),
+                    height=int(parts[3]),
+                    params=np.asarray([float(p) for p in parts[4:]])))
+        with open(os.path.join(path, "images.txt")) as f:
+            content = [l.strip() for l in f
+                       if l.strip() and not l.startswith("#")]
+        for i in range(0, len(content), 2):
+            parts = content[i].split()
+            iid = int(parts[0])
+            img = Image(
+                image_id=iid, name=parts[9], camera_id=int(parts[8]),
+                qvec=np.asarray([float(p) for p in parts[1:5]]),
+                tvec=np.asarray([float(p) for p in parts[5:8]]))
+            lparts = content[i + 1].split()
+            n = len(lparts) // 5
+            lines = np.zeros((n, 3))
+            aligned = np.zeros(n, bool)
+            pids = np.full(n, _INVALID, np.int64)
+            for j in range(n):
+                lines[j] = [float(lparts[5 * j + k]) for k in range(3)]
+                aligned[j] = lparts[5 * j + 3] == "1"
+                pids[j] = int(lparts[5 * j + 4])
+            img.lines = lines
+            img.aligned = aligned
+            img.point3d_ids = pids
+            rec.add_image(img)
+            rec.register_image(iid)
+        pts_path = os.path.join(path, "points3D.txt")
+        if os.path.exists(pts_path):
+            with open(pts_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = line.split()
+                    pid = int(parts[0])
+                    xyz = np.asarray([float(p) for p in parts[1:4]])
+                    err = float(parts[7])
+                    track = [(int(parts[8 + 2 * k]), int(parts[9 + 2 * k]))
+                             for k in range((len(parts) - 8) // 2)]
+                    rec.points3d[pid] = Point3D(xyz=xyz, track=track,
+                                                error=err)
+                    rec._next_point_id = max(rec._next_point_id, pid + 1)
+        return rec
+
+    def write_ply(self, path: str):
+        """Point cloud export (``reconstruction.cc:555-592``)."""
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(self.points3d)}\n")
+            f.write("property float x\nproperty float y\nproperty float z\n")
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\nend_header\n")
+            for p in self.points3d.values():
+                r, g, b = p.color
+                f.write(f"{p.xyz[0]} {p.xyz[1]} {p.xyz[2]} {r} {g} {b}\n")
