@@ -1,0 +1,276 @@
+"""Incremental mapping controller: the outer reconstruction loop.
+
+Port of ``src/controllers/incremental_mapper.{h,cc}``:
+
+  * ``run``: init-constraint relaxation loop (halve init_min_num_inliers,
+    then halve init_min_tri_angle, x2) (``:285-314``);
+  * ``reconstruct``: init -> global BA -> register/triangulate/local-BA loop
+    with ratio-triggered global refinement, model retries
+    (``:382-591``);
+  * ``iterative_local_refinement``: <= ba_local_max_refinements rounds,
+    SOFT_L1 loss on the first round only (``:72-100``);
+  * ``iterative_global_refinement``: complete+merge, then <= 5 rounds of
+    (global BA, complete+merge, filter) until the changed-observation
+    fraction drops below 0.0005 (``:102-124``).
+
+Thresholds/defaults = ``controllers/incremental_mapper.h:44-120``.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from privacy_preserving_sfm_tpu.models.database import Database
+from privacy_preserving_sfm_tpu.models.database_cache import DatabaseCache
+from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
+from privacy_preserving_sfm_tpu.optim import ba as ba_mod
+from privacy_preserving_sfm_tpu.sfm.incremental_mapper import (
+    IncrementalMapper, MapperOptions,
+)
+from privacy_preserving_sfm_tpu.sfm.incremental_triangulator import (
+    TriangulatorOptions,
+)
+
+
+@dataclasses.dataclass
+class ControllerOptions:
+    """``IncrementalMapperOptions`` (``controllers/incremental_mapper.h``)."""
+
+    min_num_matches: int = 15
+    multiple_models: bool = True
+    max_num_models: int = 50
+    max_model_overlap: int = 20
+    min_model_size: int = 10
+    init_num_trials: int = 200
+    ba_local_num_images: int = 6
+    ba_local_max_num_iterations: int = 25
+    ba_global_images_ratio: float = 1.1
+    ba_global_points_ratio: float = 1.1
+    ba_global_images_freq: int = 500
+    ba_global_points_freq: int = 250000
+    ba_global_max_num_iterations: int = 50
+    ba_local_max_refinements: int = 2
+    ba_local_max_refinement_change: float = 0.001
+    ba_global_max_refinements: int = 5
+    ba_global_max_refinement_change: float = 0.0005
+    snapshot_path: str = ""
+    snapshot_images_freq: int = 0
+    mapper: MapperOptions = dataclasses.field(default_factory=MapperOptions)
+    triangulation: TriangulatorOptions = dataclasses.field(
+        default_factory=TriangulatorOptions)
+    verbose: bool = True
+
+    def local_ba_options(self) -> ba_mod.BAOptions:
+        return ba_mod.BAOptions(
+            max_iterations=self.ba_local_max_num_iterations,
+            loss="soft_l1", loss_scale=1.0)
+
+    def global_ba_options(self) -> ba_mod.BAOptions:
+        return ba_mod.BAOptions(
+            max_iterations=self.ba_global_max_num_iterations,
+            loss="trivial")
+
+
+class IncrementalMapperController:
+    """Drives reconstruction(s) from a database (or pre-built caches)."""
+
+    def __init__(self, options: ControllerOptions,
+                 database_path: Optional[str] = None,
+                 database_cache: Optional[DatabaseCache] = None,
+                 aligned_cache: Optional[DatabaseCache] = None):
+        self.options = options
+        self.database_path = database_path
+        self.database_cache = database_cache
+        self.aligned_cache = aligned_cache
+        self.reconstructions: List[Reconstruction] = []
+
+    def _log(self, msg: str):
+        if self.options.verbose:
+            print(msg, flush=True)
+
+    def load_database(self) -> bool:
+        """Build the full + aligned caches (``LoadDatabase``, ``:316-380``).
+
+        The "aligned" cache keeps all features but only images that HAVE
+        aligned lines (and hence gravity), loaded with min_num_matches=4.
+        """
+        if self.database_cache is not None:
+            return len(self.database_cache.images) > 0
+        with Database(self.database_path) as db:
+            self.database_cache = DatabaseCache.load(
+                db, self.options.min_num_matches)
+            aligned_names = {
+                img.name for img in self.database_cache.images.values()
+                if img.aligned.any()}
+            self.aligned_cache = DatabaseCache.load(
+                db, 4, image_names=aligned_names)
+        return len(self.database_cache.images) > 0
+
+    def run(self) -> List[Reconstruction]:
+        if not self.load_database():
+            self._log("WARNING: no images with matches found")
+            return []
+        init_options = copy.deepcopy(self.options.mapper)
+        self.reconstruct(init_options)
+        for _ in range(2):
+            if self.reconstructions:
+                break
+            self._log("=> Relaxing the initialization constraints.")
+            init_options.init_min_num_inliers //= 2
+            self.reconstruct(init_options)
+            if self.reconstructions:
+                break
+            self._log("=> Relaxing the initialization constraints.")
+            init_options.init_min_tri_angle /= 2
+            self.reconstruct(init_options)
+        return self.reconstructions
+
+    # -- refinement loops ------------------------------------------------
+
+    def iterative_local_refinement(self, mapper: IncrementalMapper,
+                                   image_id: int):
+        ba_options = self.options.local_ba_options()
+        for i in range(self.options.ba_local_max_refinements):
+            report = mapper.adjust_local_bundle(
+                self.options.mapper, ba_options, self.options.triangulation,
+                image_id, set(mapper.triangulator.modified_point3d_ids))
+            num_adjusted = max(1, mapper.rec.num_observations())
+            changed = (report["merged"] + report["completed"]
+                       + report["filtered"]) / num_adjusted
+            if changed < self.options.ba_local_max_refinement_change:
+                break
+            # Robust loss only on the first refinement round.
+            ba_options = ba_options._replace(loss="trivial")
+        mapper.triangulator.modified_point3d_ids.clear()
+
+    def iterative_global_refinement(self, mapper: IncrementalMapper):
+        self._complete_and_merge(mapper)
+        for i in range(self.options.ba_global_max_refinements):
+            num_obs = max(1, mapper.rec.num_observations())
+            ba_options = self.options.global_ba_options()
+            if mapper.rec.num_registered() < 10:
+                # Stricter convergence for the first images (:57-66).
+                ba_options = ba_options._replace(
+                    max_iterations=ba_options.max_iterations * 2,
+                    function_tolerance=ba_options.function_tolerance / 10)
+            mapper.adjust_global_bundle(self.options.mapper, ba_options)
+            changed = self._complete_and_merge(mapper)
+            changed += mapper.filter_points(self.options.mapper)
+            if changed / num_obs < self.options.ba_global_max_refinement_change:
+                break
+        mapper.filter_images(self.options.mapper)
+
+    def _complete_and_merge(self, mapper: IncrementalMapper) -> int:
+        n = mapper.complete_tracks(self.options.triangulation)
+        n += mapper.merge_tracks(self.options.triangulation)
+        return n
+
+    # -- main reconstruction loop ---------------------------------------
+
+    def reconstruct(self, init_mapper_options: MapperOptions):
+        mapper = IncrementalMapper(self.database_cache)
+
+        for num_trials in range(self.options.init_num_trials):
+            rec = self.database_cache.to_reconstruction()
+            # Fresh copies of mutable image state per attempt.
+            for img in rec.images.values():
+                img.registered = False
+                img.point3d_ids = np.full(img.num_lines, -1, np.int64)
+            rec.reg_image_ids = []
+            mapper = IncrementalMapper(self.database_cache)
+            mapper.begin_reconstruction(rec)
+            init_mapper_options.seed = (init_mapper_options.seed or 0) \
+                + num_trials
+
+            if not mapper.register_initial_line_images(
+                    init_mapper_options, self.aligned_cache):
+                self._log("  => Initialization failed.")
+                break
+
+            self._log(f"  => Initialized with images "
+                      f"{rec.reg_image_ids} ({len(rec.points3d)} points)")
+            mapper.adjust_global_bundle(self.options.mapper,
+                                        self.options.global_ba_options())
+            mapper.filter_points(self.options.mapper)
+            mapper.filter_images(self.options.mapper)
+
+            if rec.num_registered() == 0 or len(rec.points3d) == 0:
+                continue
+
+            ba_prev_num_reg = rec.num_registered()
+            ba_prev_num_points = len(rec.points3d)
+
+            reg_next_success = True
+            prev_reg_next_success = True
+            while reg_next_success:
+                reg_next_success = False
+                next_images = mapper.find_next_images(self.options.mapper)
+                if not next_images:
+                    break
+                for reg_trial, next_image_id in enumerate(next_images):
+                    self._log(
+                        f"Registering image #{next_image_id} "
+                        f"({rec.num_registered() + 1})")
+                    reg_next_success = mapper.register_next_image(
+                        self.options.mapper, next_image_id)
+                    if reg_next_success:
+                        mapper.triangulate_image(self.options.triangulation,
+                                                 next_image_id)
+                        self.iterative_local_refinement(mapper, next_image_id)
+                        if (rec.num_registered() >=
+                                self.options.ba_global_images_ratio
+                                * ba_prev_num_reg
+                                or rec.num_registered() >=
+                                self.options.ba_global_images_freq
+                                + ba_prev_num_reg
+                                or len(rec.points3d) >=
+                                self.options.ba_global_points_ratio
+                                * ba_prev_num_points
+                                or len(rec.points3d) >=
+                                self.options.ba_global_points_freq
+                                + ba_prev_num_points):
+                            self.iterative_global_refinement(mapper)
+                            ba_prev_num_reg = rec.num_registered()
+                            ba_prev_num_points = len(rec.points3d)
+                        break
+                    else:
+                        self._log("  => Could not register, trying another.")
+                        if (reg_trial >= 30 and rec.num_registered() <
+                                self.options.min_model_size):
+                            break
+
+                # One global refinement rescue before giving up.
+                if not reg_next_success and prev_reg_next_success:
+                    reg_next_success = True
+                    prev_reg_next_success = False
+                    self.iterative_global_refinement(mapper)
+                else:
+                    prev_reg_next_success = reg_next_success
+
+            # Final global refinement unless the last BA was global.
+            if (rec.num_registered() >= 2
+                    and rec.num_registered() != ba_prev_num_reg
+                    and len(rec.points3d) != ba_prev_num_points):
+                self.iterative_global_refinement(mapper)
+
+            min_model_size = min(len(self.database_cache.images),
+                                 self.options.min_model_size)
+            if (self.options.multiple_models
+                    and rec.num_registered() < min_model_size) \
+                    or rec.num_registered() == 0:
+                pass  # discard
+            else:
+                self.reconstructions.append(rec)
+
+            if (not self.options.multiple_models
+                    or len(self.reconstructions) >= self.options.max_num_models
+                    or sum(r.num_registered() for r in self.reconstructions)
+                    >= len(self.database_cache.images) - 1):
+                break
+        return self.reconstructions

@@ -1,0 +1,605 @@
+"""Incremental mapper: init-set search, registration, local/global BA.
+
+Host-side port of ``src/sfm/incremental_mapper.{h,cc}`` over the device
+kernels (P6L RANSAC, 4-view initializer, implicit-Schur BA).  Key policies
+(see SURVEY.md §8 for the full threshold spec):
+
+  * ``register_initial_line_images``: enumerate 4-view aligned/unaligned
+    tracks around <= 10 random seed images, require >= 20 of each per image
+    set, rank by aligned-track count, try <= 10 candidate sets through the
+    4-view initializer, keep the best inlier ratio
+    (``incremental_mapper.cc:192-541``);
+  * ``find_next_images``: rank by visible-points ratio, two buckets
+    (fresh vs previously-failed/filtered) (``:139-191``);
+  * ``register_next_image``: transitive 2D-3D search, P6L RANSAC with
+    normalized threshold, refinement, continue inlier tracks (``:570-759``);
+  * ``adjust_local_bundle``: local set by most-shared-3D-points with the
+    8-step relaxing (tri-angle, overlap) schedule; 7-DoF gauge fixing;
+    variable points = modified tracks <= 15 (``:781-888, 993-1160``);
+  * ``adjust_global_bundle``: gauge fix + Normalize (``:893-939``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from privacy_preserving_sfm_tpu.init import initializer as init_mod
+from privacy_preserving_sfm_tpu.models.database_cache import DatabaseCache
+from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
+from privacy_preserving_sfm_tpu.ops import lie, triangulation as tri_ops
+from privacy_preserving_sfm_tpu.optim import ba as ba_mod
+from privacy_preserving_sfm_tpu.sfm.incremental_triangulator import (
+    IncrementalTriangulator, TriangulatorOptions,
+)
+from privacy_preserving_sfm_tpu.solvers import p6l
+
+
+@dataclasses.dataclass
+class MapperOptions:
+    """``IncrementalMapper::Options`` (``incremental_mapper.h:50-113``)."""
+
+    init_min_num_inliers: int = 20
+    init_max_error: float = 5.0  # px
+    init_min_tri_angle: float = 2.0  # degrees
+    abs_pose_max_error: float = 12.0  # px
+    abs_pose_min_num_inliers: int = 30
+    abs_pose_min_inlier_ratio: float = 0.25
+    filter_max_reproj_error: float = 4.0  # px
+    filter_min_tri_angle: float = 1.5  # degrees
+    max_reg_trials: int = 3
+    local_ba_num_images: int = 6
+    local_ba_min_tri_angle: float = 6.0  # degrees
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
+    fix_existing_images: bool = False
+    num_hypotheses: int = 4096  # P6L RANSAC batch (ref: 100..10000 trials)
+    init_num_samples: int = 1024
+    seed: int = 0
+
+
+class IncrementalMapper:
+    def __init__(self, database_cache: DatabaseCache):
+        self.cache = database_cache
+        self.rec: Optional[Reconstruction] = None
+        self.triangulator: Optional[IncrementalTriangulator] = None
+        self.num_reg_trials: Dict[int, int] = {}
+        self.filtered_images: Set[int] = set()
+        self.existing_image_ids: Set[int] = set()
+        self.num_reg_images_per_camera: Dict[int, int] = {}
+        self._rng = np.random.default_rng(0)
+        self._jit_pose = {}
+
+    # -- lifecycle -------------------------------------------------------
+
+    def begin_reconstruction(self, rec: Reconstruction):
+        self.rec = rec
+        self.triangulator = IncrementalTriangulator(self.cache.graph, rec)
+        for iid in rec.reg_image_ids:
+            self.existing_image_ids.add(iid)
+            self._register_image_event(iid)
+
+    def _register_image_event(self, image_id: int):
+        cam_id = self.rec.images[image_id].camera_id
+        self.num_reg_images_per_camera[cam_id] = \
+            self.num_reg_images_per_camera.get(cam_id, 0) + 1
+
+    # -- initialization --------------------------------------------------
+
+    def register_initial_line_images(self, options: MapperOptions,
+                                     aligned_cache: DatabaseCache) -> bool:
+        """Bootstrap 4 poses (``incremental_mapper.cc:192-567``)."""
+        self._rng = np.random.default_rng(options.seed)
+        graph = aligned_cache.graph
+        image_ids = sorted(aligned_cache.images.keys())
+        if len(image_ids) < 4:
+            return False
+        num_check = min(10, len(image_ids))
+        check_ids = self._rng.choice(image_ids, num_check, replace=False)
+
+        all_aligned: Dict[Tuple, Set[Tuple]] = {}
+        all_unaligned: Dict[Tuple, Set[Tuple]] = {}
+
+        for image_id in check_ids:
+            img = aligned_cache.images[image_id]
+            for line_idx in range(img.num_lines):
+                is_aligned = bool(img.aligned[line_idx])
+                corrs = [
+                    (iid, li) for iid, li in
+                    graph.find_correspondences(image_id, line_idx)
+                    if bool(aligned_cache.images[iid].aligned[li]) == is_aligned
+                ]
+                if len(corrs) < 3:
+                    continue
+                container = all_aligned if is_aligned else all_unaligned
+                n = len(corrs)
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        for k in range(j + 1, n):
+                            cand = sorted(
+                                {(image_id, line_idx), corrs[i], corrs[j],
+                                 corrs[k]})
+                            if len({c[0] for c in cand}) != 4:
+                                continue
+                            key = tuple(c[0] for c in cand)
+                            feats = tuple(c[1] for c in cand)
+                            container.setdefault(key, set()).add(feats)
+
+        # Candidate image sets: >= 20 aligned AND >= 20 random tracks.
+        MIN_TRACKS = 20
+        candidates = []
+        for key, atracks in all_aligned.items():
+            utracks = all_unaligned.get(key, set())
+            if len(atracks) >= MIN_TRACKS and len(utracks) >= MIN_TRACKS:
+                candidates.append((key, len(atracks), len(utracks)))
+        if not candidates:
+            return False
+        # Rank by aligned-track count only (unaligned weight = 0.0).
+        candidates.sort(key=lambda c: -c[1])
+
+        best_ratio = 0.0
+        best_inliers = 0
+        best_poses = None
+        best_set = None
+
+        for key, _, _ in candidates[:10]:
+            atr = sorted(all_aligned[key])
+            utr = sorted(all_unaligned[key])
+            aligned_lines = np.zeros((4, len(atr), 3))
+            random_lines = np.zeros((4, len(utr), 3))
+            for t, feats in enumerate(atr):
+                for v in range(4):
+                    aligned_lines[v, t] = \
+                        aligned_cache.images[key[v]].lines[feats[v]]
+            for t, feats in enumerate(utr):
+                for v in range(4):
+                    random_lines[v, t] = \
+                        aligned_cache.images[key[v]].lines[feats[v]]
+            gravity = np.stack([aligned_cache.images[k].gravity for k in key])
+
+            max_error = min(
+                aligned_cache.cameras[aligned_cache.images[k].camera_id]
+                .image_to_world_threshold(options.init_max_error)
+                for k in key)
+            opts = init_mod.InitOptions(
+                min_tri_angle_deg=options.init_min_tri_angle,
+                min_num_inliers=options.init_min_num_inliers,
+                max_error=max_error,
+                num_samples_fourview=options.init_num_samples,
+                num_samples_offset=options.init_num_samples)
+            # Pad track counts to buckets to bound recompiles.
+            na = _bucket(len(atr))
+            nu = _bucket(len(utr))
+            al_pad = np.zeros((4, na, 3))
+            al_pad[:, :, 0] = 1.0
+            al_pad[:, :len(atr)] = aligned_lines
+            un_pad = np.zeros((4, nu, 3))
+            un_pad[:, :, 0] = 1.0
+            un_pad[:, :len(utr)] = random_lines
+            av = np.zeros(na, bool)
+            av[:len(atr)] = True
+            uv = np.zeros(nu, bool)
+            uv[:len(utr)] = True
+
+            res = init_mod.initialize_reconstruction(
+                jax.random.PRNGKey(options.seed), jnp.asarray(al_pad),
+                jnp.asarray(av), jnp.asarray(un_pad), jnp.asarray(uv),
+                jnp.asarray(gravity), opts)
+            if bool(res.success):
+                ratio = float(res.inlier_ratio)
+                if ratio > best_ratio:
+                    best_ratio = ratio
+                    best_poses = np.asarray(res.poses)
+                    best_set = key
+                    best_inliers = int(res.num_inliers)
+
+        if best_poses is None or best_inliers < options.init_min_num_inliers:
+            return False
+
+        from privacy_preserving_sfm_tpu.ops import lie as lie_mod
+        for v, image_id in enumerate(best_set):
+            img = self.rec.images[image_id]
+            R = best_poses[v, :, :3]
+            img.qvec = np.asarray(lie_mod.rotmat_to_quat(jnp.asarray(R)))
+            img.tvec = best_poses[v, :, 3].copy()
+            self.rec.register_image(image_id)
+            self._register_image_event(image_id)
+
+        tri_options = TriangulatorOptions()
+        for image_id in list(self.rec.reg_image_ids):
+            self.triangulate_image(tri_options, image_id)
+        self.complete_tracks(tri_options)
+        self.merge_tracks(tri_options)
+        return True
+
+    # -- next-image selection -------------------------------------------
+
+    def _visible_stats(self, image_id: int) -> Tuple[int, int]:
+        """(num_visible_points3d, num_observations) for ranking."""
+        img = self.rec.images[image_id]
+        num_vis = 0
+        num_obs = 0
+        for line_idx in range(img.num_lines):
+            corrs = self.cache.graph.find_correspondences(image_id, line_idx)
+            if not corrs:
+                continue
+            num_obs += 1
+            for iid, li in corrs:
+                other = self.rec.images.get(iid)
+                if other is not None and other.registered and \
+                        other.point3d_ids[li] >= 0:
+                    num_vis += 1
+                    break
+        return num_vis, num_obs
+
+    def find_next_images(self, options: MapperOptions) -> List[int]:
+        ranked = []
+        other = []
+        for iid, img in self.rec.images.items():
+            if img.registered:
+                continue
+            num_vis, num_obs = self._visible_stats(iid)
+            if num_vis < options.abs_pose_min_num_inliers:
+                continue
+            trials = self.num_reg_trials.get(iid, 0)
+            if trials >= options.max_reg_trials:
+                continue
+            rank = num_vis / max(num_obs, 1)  # MAX_VISIBLE_POINTS_RATIO
+            if iid not in self.filtered_images and trials == 0:
+                ranked.append((iid, rank))
+            else:
+                other.append((iid, rank))
+        ranked.sort(key=lambda x: -x[1])
+        other.sort(key=lambda x: -x[1])
+        return [i for i, _ in ranked] + [i for i, _ in other]
+
+    # -- registration ----------------------------------------------------
+
+    def register_next_image(self, options: MapperOptions,
+                            image_id: int) -> bool:
+        img = self.rec.images[image_id]
+        cam = self.rec.cameras[img.camera_id]
+        assert not img.registered
+        self.num_reg_trials[image_id] = \
+            self.num_reg_trials.get(image_id, 0) + 1
+
+        # 2D-3D correspondence search (transitivity 1).
+        tri_corrs = []  # (line_idx, point3d_id)
+        seen_points: Set[int] = set()
+        for line_idx in range(img.num_lines):
+            pt_ids_here: Set[int] = set()
+            for iid, li in self.cache.graph.find_correspondences(
+                    image_id, line_idx):
+                other = self.rec.images.get(iid)
+                if other is None or not other.registered:
+                    continue
+                pid = int(other.point3d_ids[li])
+                if pid < 0 or pid in pt_ids_here:
+                    continue
+                pt_ids_here.add(pid)
+                tri_corrs.append((line_idx, pid))
+
+        if len(tri_corrs) < max(options.abs_pose_min_num_inliers, 6):
+            return False
+
+        lines = np.stack([img.lines[li] for li, _ in tri_corrs])
+        aligned = np.asarray([img.aligned[li] for li, _ in tri_corrs])
+        points = np.stack([self.rec.points3d[pid].xyz
+                           for _, pid in tri_corrs])
+
+        n = _bucket(len(tri_corrs))
+        lines_p = np.zeros((n, 3))
+        lines_p[:, 0] = 1.0
+        lines_p[:len(tri_corrs)] = lines
+        aligned_p = np.zeros(n, bool)
+        aligned_p[:len(tri_corrs)] = aligned
+        points_p = np.zeros((n, 3))
+        points_p[:len(tri_corrs)] = points
+        valid = np.zeros(n, bool)
+        valid[:len(tri_corrs)] = True
+
+        thresh = cam.image_to_world_threshold(options.abs_pose_max_error)
+        key = jax.random.PRNGKey(
+            int(self._rng.integers(0, 2 ** 31)))
+        res = self._pose_kernel(n, options.num_hypotheses)(
+            key, jnp.asarray(lines_p), jnp.asarray(aligned_p),
+            jnp.asarray(points_p), jnp.asarray(valid), thresh)
+        if not bool(res.success):
+            return False
+        if int(res.num_inliers) < options.abs_pose_min_num_inliers:
+            return False
+
+        inlier_mask = np.asarray(res.inlier_mask)[:len(tri_corrs)]
+
+        # Refinement (Cauchy IRLS GN on inliers).
+        q1, t1 = p6l.refine_absolute_pose_from_lines(
+            res.qvec, res.tvec, jnp.asarray(lines_p), jnp.asarray(points_p),
+            jnp.asarray(np.concatenate([
+                inlier_mask.astype(float),
+                np.zeros(n - len(tri_corrs))])),
+            cam.model, jnp.asarray(cam.params))
+        if not (np.isfinite(np.asarray(q1)).all()
+                and np.isfinite(np.asarray(t1)).all()):
+            return False
+        img.qvec = np.asarray(q1)
+        img.tvec = np.asarray(t1)
+
+        self.rec.register_image(image_id)
+        self._register_image_event(image_id)
+
+        # Continue inlier tracks.
+        for i, (line_idx, pid) in enumerate(tri_corrs):
+            if inlier_mask[i] and img.point3d_ids[line_idx] < 0 \
+                    and pid in self.rec.points3d:
+                self.rec.add_observation(pid, image_id, line_idx)
+                self.triangulator.modified_point3d_ids.add(pid)
+        return True
+
+    def _pose_kernel(self, n: int, num_hypotheses: int):
+        key = (n, num_hypotheses)
+        if key not in self._jit_pose:
+            self._jit_pose[key] = jax.jit(
+                lambda k, l, a, p, v, th: p6l.estimate_absolute_pose_from_lines(
+                    k, l, a, p, v, th, num_hypotheses=num_hypotheses))
+        return self._jit_pose[key]
+
+    # -- triangulation wrappers -----------------------------------------
+
+    def triangulate_image(self, tri_options: TriangulatorOptions,
+                          image_id: int) -> int:
+        return self.triangulator.triangulate_image(tri_options, image_id)
+
+    def complete_tracks(self, tri_options: TriangulatorOptions) -> int:
+        return self.triangulator.complete_all_tracks(tri_options)
+
+    def merge_tracks(self, tri_options: TriangulatorOptions) -> int:
+        return self.triangulator.merge_all_tracks(tri_options)
+
+    # -- bundle adjustment ----------------------------------------------
+
+    def find_local_bundle(self, options: MapperOptions,
+                          image_id: int) -> List[int]:
+        """Most-connected covisible images with the 8-step relaxing
+        (tri-angle, overlap) schedule (``incremental_mapper.cc:993-1160``)."""
+        img = self.rec.images[image_id]
+        shared: Dict[int, int] = {}
+        pids = [int(p) for p in img.point3d_ids if p >= 0]
+        for pid in pids:
+            for iid, _ in self.rec.points3d[pid].track:
+                if iid != image_id:
+                    shared[iid] = shared.get(iid, 0) + 1
+        overlapping = sorted(shared.items(), key=lambda kv: -kv[1])
+        num_eff = min(options.local_ba_num_images - 1, len(overlapping))
+        if len(overlapping) == num_eff:
+            return [iid for iid, _ in overlapping]
+
+        min_tri = np.deg2rad(options.local_ba_min_tri_angle)
+        num_points = img.num_points3d()
+        schedule = [(min_tri / 1.0, 0.6 * num_points),
+                    (min_tri / 1.5, 0.6 * num_points),
+                    (min_tri / 2.0, 0.5 * num_points),
+                    (min_tri / 2.5, 0.4 * num_points),
+                    (min_tri / 3.0, 0.3 * num_points),
+                    (min_tri / 4.0, 0.2 * num_points),
+                    (min_tri / 5.0, 0.1 * num_points),
+                    (min_tri / 6.0, 0.1 * num_points)]
+        center = img.projection_center()
+        shared_xyz = np.stack([self.rec.points3d[pid].xyz for pid in pids]) \
+            if pids else np.zeros((0, 3))
+        local = []
+        used = set()
+        tri_angles: Dict[int, float] = {}
+        for ang_th, overlap_th in schedule:
+            for iid, count in overlapping:
+                if count < overlap_th:
+                    break
+                if iid in used:
+                    continue
+                if iid not in tri_angles:
+                    ocenter = self.rec.images[iid].projection_center()
+                    angs = np.asarray(tri_ops.triangulation_angle(
+                        jnp.asarray(center), jnp.asarray(ocenter),
+                        jnp.asarray(shared_xyz)))
+                    tri_angles[iid] = float(np.percentile(angs, 75)) \
+                        if len(angs) else 0.0
+                if tri_angles[iid] >= ang_th:
+                    local.append(iid)
+                    used.add(iid)
+                    if len(local) >= num_eff:
+                        break
+            if len(local) >= num_eff:
+                break
+        if len(local) < num_eff:
+            for iid, _ in overlapping:
+                if iid not in used:
+                    local.append(iid)
+                    used.add(iid)
+                    if len(local) >= num_eff:
+                        break
+        return local
+
+    def adjust_local_bundle(self, options: MapperOptions,
+                            ba_options: ba_mod.BAOptions,
+                            tri_options: TriangulatorOptions,
+                            image_id: int,
+                            point3d_ids: Set[int]) -> Dict[str, int]:
+        report = {"merged": 0, "completed": 0, "filtered": 0}
+        local_bundle = self.find_local_bundle(options, image_id)
+        if local_bundle:
+            config_images = [image_id] + local_bundle
+            const_pose: Set[int] = set()
+            const_tvec_x: Set[int] = set()
+            if len(local_bundle) == 1:
+                const_pose.add(local_bundle[0])
+                const_tvec_x.add(image_id)
+            else:
+                const_pose.add(local_bundle[-1])
+                const_tvec_x.add(local_bundle[-2])
+            variable_points = {
+                pid for pid in point3d_ids
+                if pid in self.rec.points3d and (
+                    self.rec.points3d[pid].error < 0
+                    or len(self.rec.points3d[pid].track) <= 15)}
+            self._run_ba(config_images, const_pose, const_tvec_x,
+                         variable_points, ba_options)
+            report["merged"] = self.triangulator.merge_tracks(
+                tri_options, variable_points)
+            report["completed"] = self.triangulator.complete_tracks(
+                tri_options, variable_points)
+            report["completed"] += self.triangulator.complete_image(
+                tri_options, image_id)
+
+        # Filter modified images + changed points.
+        filter_pids = set()
+        for iid in [image_id] + local_bundle:
+            img = self.rec.images.get(iid)
+            if img is None:
+                continue
+            filter_pids.update(int(p) for p in img.point3d_ids if p >= 0)
+        filter_pids.update(p for p in point3d_ids if p in self.rec.points3d)
+        report["filtered"] = self.rec.filter_points3d(
+            options.filter_max_reproj_error, options.filter_min_tri_angle,
+            filter_pids)
+        return report
+
+    def adjust_global_bundle(self, options: MapperOptions,
+                             ba_options: ba_mod.BAOptions) -> bool:
+        reg = list(self.rec.reg_image_ids)
+        assert len(reg) >= 2
+        self.rec.filter_observations_with_negative_depth()
+        const_pose = {reg[0]}
+        const_tvec_x = {reg[1]}
+        ok = self._run_ba(reg, const_pose, const_tvec_x, None, ba_options)
+        self.rec.normalize()
+        return ok
+
+    def _run_ba(self, config_images: Sequence[int], const_pose: Set[int],
+                const_tvec_x: Set[int],
+                variable_points: Optional[Set[int]],
+                ba_options: ba_mod.BAOptions) -> bool:
+        """Assemble a fixed-shape BAProblem and run the device LM kernel."""
+        rec = self.rec
+        config_set = set(config_images)
+        obs: List[Tuple[int, int, int]] = []  # (image_id, line_idx, pid)
+        point_ids: List[int] = []
+        point_index: Dict[int, int] = {}
+
+        def point_slot(pid: int) -> int:
+            if pid not in point_index:
+                point_index[pid] = len(point_ids)
+                point_ids.append(pid)
+            return point_index[pid]
+
+        for iid in config_images:
+            img = rec.images[iid]
+            for li in np.nonzero(img.point3d_ids >= 0)[0]:
+                pid = int(img.point3d_ids[li])
+                point_slot(pid)
+                obs.append((iid, int(li), pid))
+
+        extra_images: List[int] = []
+        if variable_points is not None:
+            for pid in variable_points:
+                if pid not in rec.points3d:
+                    continue
+                point_slot(pid)
+                for iid, li in rec.points3d[pid].track:
+                    if iid not in config_set:
+                        if iid not in extra_images:
+                            extra_images.append(iid)
+                        obs.append((iid, li, pid))
+
+        if len(obs) < 6 or len(point_ids) == 0:
+            return False
+
+        cam_list = list(config_images) + extra_images
+        cam_index = {iid: i for i, iid in enumerate(cam_list)}
+        C = len(cam_list)
+        P = len(point_ids)
+        O = _bucket(len(obs))
+
+        camera0 = rec.cameras[rec.images[cam_list[0]].camera_id]
+        n_params = len(camera0.params)
+        qvecs = np.zeros((C, 4))
+        tvecs = np.zeros((C, 3))
+        cam_params = np.zeros((C, n_params))
+        dof_mask = np.ones((C, 6))
+        for i, iid in enumerate(cam_list):
+            img = rec.images[iid]
+            qvecs[i] = img.qvec
+            tvecs[i] = img.tvec
+            cam_params[i] = rec.cameras[img.camera_id].params
+            if iid in const_pose or iid in extra_images:
+                dof_mask[i] = 0.0
+            elif iid in const_tvec_x:
+                dof_mask[i, 3] = 0.0
+
+        points3d = np.stack([rec.points3d[pid].xyz for pid in point_ids])
+        point_mask = np.ones(P)
+        if variable_points is not None:
+            for pid, slot in point_index.items():
+                if pid not in variable_points:
+                    point_mask[slot] = 0.0
+
+        obs_cam = np.zeros(O, np.int32)
+        obs_point = np.zeros(O, np.int32)
+        obs_line = np.zeros((O, 3))
+        obs_line[:, 0] = 1.0
+        obs_weight = np.zeros(O)
+        for k, (iid, li, pid) in enumerate(obs):
+            obs_cam[k] = cam_index[iid]
+            obs_point[k] = point_index[pid]
+            obs_line[k] = rec.images[iid].lines[li]
+            obs_weight[k] = 1.0
+
+        problem = ba_mod.BAProblem(
+            qvecs=jnp.asarray(qvecs), tvecs=jnp.asarray(tvecs),
+            cam_params=jnp.asarray(cam_params),
+            points3d=jnp.asarray(points3d),
+            obs_cam=jnp.asarray(obs_cam), obs_point=jnp.asarray(obs_point),
+            obs_line=jnp.asarray(obs_line),
+            obs_weight=jnp.asarray(obs_weight),
+            cam_dof_mask=jnp.asarray(dof_mask),
+            point_mask=jnp.asarray(point_mask))
+        q, t, X, summary = ba_mod.bundle_adjust(problem, camera0.model,
+                                                ba_options)
+        q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
+        if not (np.isfinite(q).all() and np.isfinite(t).all()
+                and np.isfinite(X).all()):
+            return False
+        for i, iid in enumerate(cam_list):
+            if dof_mask[i].any():
+                self.rec.images[iid].qvec = q[i]
+                self.rec.images[iid].tvec = t[i]
+        for pid, slot in point_index.items():
+            if point_mask[slot] > 0:
+                self.rec.points3d[pid].xyz = X[slot]
+        return True
+
+    # -- filtering -------------------------------------------------------
+
+    def filter_images(self, options: MapperOptions) -> int:
+        if self.rec.num_registered() < 20:
+            return 0
+        filtered = self.rec.filter_images(
+            options.min_focal_length_ratio, options.max_focal_length_ratio,
+            options.max_extra_param)
+        self.filtered_images.update(filtered)
+        return len(filtered)
+
+    def filter_points(self, options: MapperOptions) -> int:
+        return self.rec.filter_points3d(options.filter_max_reproj_error,
+                                        options.filter_min_tri_angle)
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Round up to the next power of two (bounded recompiles)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b

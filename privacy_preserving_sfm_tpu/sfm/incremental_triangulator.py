@@ -1,0 +1,395 @@
+"""Incremental triangulator: Find/Create/Continue/Merge/Complete.
+
+Host-side port of ``src/sfm/incremental_triangulator.{h,cc}`` driving the
+batched device kernels in ``solvers/triangulation`` and ``ops/lines``:
+
+  * ``Create``: needs >= 3 untriangulated observations AND >= 1 random
+    (non-aligned) line (``incremental_triangulator.cc:480-514``); robust
+    angular-error LORANSAC with exhaustive C(n,3) sampling for pools <= 15;
+    recursive re-create on >= 3 leftovers (``:555-558``);
+  * ``Continue``: attach to the best existing point by angular error
+    <= continue_max_angle_error (``:563-604``);
+  * ``Merge``: weighted-centroid merge accepted only when ALL observations
+    of both tracks pass the pixel line reprojection error, recursive
+    (``:606-695``);
+  * ``Complete``: transitive BFS growth (<= complete_max_transitivity hops)
+    by pixel line error (``:697-765``);
+  * ``CompleteImage``: additionally re-tries untriangulated observations
+    with a pixel-residual LORANSAC (``:124-236``).
+
+Options defaults = ``incremental_triangulator.h:47-90``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from privacy_preserving_sfm_tpu.models.correspondence_graph import (
+    CorrespondenceGraph,
+)
+from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
+from privacy_preserving_sfm_tpu.ops import lines as line_ops
+from privacy_preserving_sfm_tpu.solvers import triangulation as tri_est
+
+MAX_POOL = 24  # fixed padding for the jitted estimator
+
+
+@dataclasses.dataclass
+class TriangulatorOptions:
+    max_transitivity: int = 1
+    create_max_angle_error: float = 2.0  # degrees
+    continue_max_angle_error: float = 2.0  # degrees
+    merge_max_reproj_error: float = 4.0  # pixels
+    complete_max_reproj_error: float = 4.0  # pixels
+    complete_max_transitivity: int = 5
+    re_max_angle_error: float = 5.0
+    re_min_ratio: float = 0.2
+    re_max_trials: int = 1
+    min_angle: float = 1.5  # degrees
+    ignore_two_view_tracks: bool = True
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
+
+
+class IncrementalTriangulator:
+    def __init__(self, graph: CorrespondenceGraph, rec: Reconstruction):
+        self.graph = graph
+        self.rec = rec
+        self.modified_point3d_ids: Set[int] = set()
+        self._merge_trials: Dict[int, Set[int]] = {}
+        self._jit_cache: Dict[Tuple, callable] = {}
+
+    # -- device-kernel wrappers -----------------------------------------
+
+    def _estimator(self, camera_model: str, residual: str):
+        key = (camera_model, residual)
+        if key not in self._jit_cache:
+            if residual == "angular":
+                def run(lines, proj, centers, params, valid, width, height,
+                        max_err, min_ang):
+                    return tri_est.estimate_triangulation(
+                        lines, proj, centers, params, valid, camera_model,
+                        width, height, max_err, min_ang)
+            else:
+                def run(lines, proj, centers, params, valid, width, height,
+                        max_err, min_ang):
+                    return _estimate_triangulation_pixel(
+                        lines, proj, centers, params, valid, camera_model,
+                        width, height, max_err, min_ang)
+            self._jit_cache[key] = jax.jit(run, static_argnums=(5, 6))
+        return self._jit_cache[key]
+
+    def _pool_arrays(self, pool):
+        """Pad a CorrData pool to MAX_POOL fixed-shape arrays."""
+        n = len(pool)
+        lines = np.zeros((MAX_POOL, 3))
+        lines[:, 0] = 1.0
+        projs = np.tile(np.eye(3, 4), (MAX_POOL, 1, 1))
+        centers = np.zeros((MAX_POOL, 3))
+        valid = np.zeros(MAX_POOL, bool)
+        cam0 = self.rec.cameras[self.rec.images[pool[0][0]].camera_id]
+        params = np.tile(cam0.params, (MAX_POOL, 1))
+        for i, (iid, li) in enumerate(pool[:MAX_POOL]):
+            img = self.rec.images[iid]
+            cam = self.rec.cameras[img.camera_id]
+            lines[i] = img.lines[li]
+            projs[i] = img.projection_matrix()
+            centers[i] = img.projection_center()
+            params[i] = cam.params
+            valid[i] = True
+        return (jnp.asarray(lines), jnp.asarray(projs), jnp.asarray(centers),
+                jnp.asarray(params), jnp.asarray(valid), cam0)
+
+    def _robust_triangulate(self, pool, options: TriangulatorOptions,
+                            residual: str):
+        """Run the LORANSAC estimator on a pool of (image_id, line_idx)."""
+        lines, projs, centers, params, valid, cam0 = self._pool_arrays(pool)
+        run = self._estimator(cam0.model, residual)
+        if residual == "angular":
+            max_err = np.deg2rad(options.create_max_angle_error)
+        else:
+            max_err = options.complete_max_reproj_error
+        res = run(lines, projs, centers, params, valid, cam0.width,
+                  cam0.height, max_err, np.deg2rad(options.min_angle))
+        return res
+
+    def _pixel_error(self, image, line_idx: int, xyz: np.ndarray) -> float:
+        return self.rec._squared_line_reproj_error(image, line_idx, xyz)
+
+    def _angular_error(self, image, line_idx: int, xyz) -> float:
+        cam = self.rec.cameras[image.camera_id]
+        err = line_ops.line_angular_error(
+            jnp.asarray(image.lines[line_idx]), jnp.asarray(xyz),
+            jnp.asarray(image.projection_matrix()), cam.model,
+            jnp.asarray(cam.params), cam.width, cam.height)
+        return float(err)
+
+    # -- Find ------------------------------------------------------------
+
+    def _find(self, options, image_id: int, line_idx: int):
+        """Registered-image correspondences + count of triangulated ones."""
+        corrs = self.graph.find_transitive_correspondences(
+            image_id, line_idx, options.max_transitivity)
+        pool = []
+        num_triangulated = 0
+        for iid, li in corrs:
+            img = self.rec.images.get(iid)
+            if img is None or not img.registered:
+                continue
+            pool.append((iid, li))
+            if img.point3d_ids[li] >= 0:
+                num_triangulated += 1
+        return pool, num_triangulated
+
+    # -- Create ----------------------------------------------------------
+
+    def _create(self, options: TriangulatorOptions, pool) -> int:
+        create_pool = [(iid, li) for iid, li in pool
+                       if self.rec.images[iid].point3d_ids[li] < 0]
+        if len(create_pool) < 3:
+            return 0
+        num_random = sum(1 for iid, li in create_pool
+                         if not self.rec.images[iid].aligned[li])
+        if num_random < 1:
+            return 0
+
+        res = self._robust_triangulate(create_pool[:MAX_POOL], options,
+                                       "angular")
+        if not bool(res.success):
+            return 0
+        inl = np.asarray(res.inlier_mask)
+        track = [create_pool[i] for i in range(min(len(create_pool), MAX_POOL))
+                 if inl[i]]
+        if len(track) < 2:
+            return 0
+        xyz = np.asarray(res.point3d)
+        pid = self.rec.add_point3d(xyz, track)
+        self.modified_point3d_ids.add(pid)
+
+        # Recursive re-create on the leftovers (>= 3).
+        if len(create_pool) - len(track) >= 3:
+            return len(track) + self._create(options, create_pool)
+        return len(track)
+
+    # -- Continue --------------------------------------------------------
+
+    def _continue(self, options: TriangulatorOptions, image_id: int,
+                  line_idx: int, pool) -> int:
+        img = self.rec.images[image_id]
+        if img.point3d_ids[line_idx] >= 0:
+            return 0
+        best_err = np.inf
+        best_pid = None
+        for iid, li in pool:
+            pid = int(self.rec.images[iid].point3d_ids[li])
+            if pid < 0:
+                continue
+            err = self._angular_error(img, line_idx,
+                                      self.rec.points3d[pid].xyz)
+            if err < best_err:
+                best_err = err
+                best_pid = pid
+        if best_pid is not None and \
+                best_err <= np.deg2rad(options.continue_max_angle_error):
+            self.rec.add_observation(best_pid, image_id, line_idx)
+            self.modified_point3d_ids.add(best_pid)
+            return 1
+        return 0
+
+    # -- public API ------------------------------------------------------
+
+    def triangulate_image(self, options: TriangulatorOptions,
+                          image_id: int) -> int:
+        """``TriangulateImage`` (``incremental_triangulator.cc:63-121``)."""
+        num_tris = 0
+        self._merge_trials.clear()
+        img = self.rec.images[image_id]
+        if not img.registered:
+            return 0
+        for line_idx in range(img.num_lines):
+            pool, num_triangulated = self._find(options, image_id, line_idx)
+            if not pool:
+                continue
+            if num_triangulated == 0:
+                num_tris += self._create(options,
+                                         pool + [(image_id, line_idx)])
+            else:
+                num_tris += self._continue(options, image_id, line_idx, pool)
+                num_tris += self._create(options,
+                                         pool + [(image_id, line_idx)])
+        return num_tris
+
+    def complete_image(self, options: TriangulatorOptions,
+                       image_id: int) -> int:
+        """``CompleteImage`` (``incremental_triangulator.cc:123-236``)."""
+        num_tris = 0
+        self._merge_trials.clear()
+        img = self.rec.images[image_id]
+        if not img.registered:
+            return 0
+        for line_idx in range(img.num_lines):
+            pid = int(img.point3d_ids[line_idx])
+            if pid >= 0:
+                num_tris += self._complete(options, pid)
+                continue
+            if options.ignore_two_view_tracks and \
+                    self.graph.is_two_view_observation(image_id, line_idx):
+                continue
+            pool, num_triangulated = self._find(options, image_id, line_idx)
+            if num_triangulated or not pool:
+                continue
+            full = pool + [(image_id, line_idx)]
+            if len(full) < 3:
+                continue
+            res = self._robust_triangulate(full[:MAX_POOL], options, "pixel")
+            if not bool(res.success):
+                continue
+            inl = np.asarray(res.inlier_mask)
+            track = [full[i] for i in range(min(len(full), MAX_POOL))
+                     if inl[i]]
+            if len(track) < 2:
+                continue
+            pid = self.rec.add_point3d(np.asarray(res.point3d), track)
+            self.modified_point3d_ids.add(pid)
+            num_tris += len(track)
+        return num_tris
+
+    def _complete(self, options: TriangulatorOptions, pid: int) -> int:
+        """Transitive track growth (``incremental_triangulator.cc:697-765``)."""
+        if pid not in self.rec.points3d:
+            return 0
+        max_sq = options.complete_max_reproj_error ** 2
+        num_completed = 0
+        queue = list(self.rec.points3d[pid].track)
+        for transitivity in range(options.complete_max_transitivity):
+            if not queue:
+                break
+            prev_queue = queue
+            queue = []
+            for qiid, qli in prev_queue:
+                for iid, li in self.graph.find_correspondences(qiid, qli):
+                    img = self.rec.images.get(iid)
+                    if img is None or not img.registered:
+                        continue
+                    if img.point3d_ids[li] >= 0:
+                        continue
+                    xyz = self.rec.points3d[pid].xyz
+                    if self._pixel_error(img, li, xyz) > max_sq:
+                        continue
+                    self.rec.add_observation(pid, iid, li)
+                    self.modified_point3d_ids.add(pid)
+                    if transitivity < options.complete_max_transitivity - 1:
+                        queue.append((iid, li))
+                    num_completed += 1
+        return num_completed
+
+    def _merge(self, options: TriangulatorOptions, pid: int) -> int:
+        """Merge with corresponding tracks
+        (``incremental_triangulator.cc:606-695``)."""
+        if pid not in self.rec.points3d:
+            return 0
+        max_sq = options.merge_max_reproj_error ** 2
+        point = self.rec.points3d[pid]
+        for iid, li in list(point.track):
+            for ciid, cli in self.graph.find_correspondences(iid, li):
+                img = self.rec.images.get(ciid)
+                if img is None or not img.registered:
+                    continue
+                cpid = int(img.point3d_ids[cli])
+                if cpid < 0 or cpid == pid:
+                    continue
+                if cpid in self._merge_trials.setdefault(pid, set()):
+                    continue
+                self._merge_trials.setdefault(pid, set()).add(cpid)
+                self._merge_trials.setdefault(cpid, set()).add(pid)
+                corr_point = self.rec.points3d[cpid]
+                n1, n2 = len(point.track), len(corr_point.track)
+                merged_xyz = (n1 * point.xyz + n2 * corr_point.xyz) / (n1 + n2)
+                ok = True
+                for tiid, tli in list(point.track) + list(corr_point.track):
+                    timg = self.rec.images[tiid]
+                    if self._pixel_error(timg, tli, merged_xyz) > max_sq:
+                        ok = False
+                        break
+                if ok:
+                    num_merged = n1 + n2
+                    mpid = self.rec.merge_points3d(pid, cpid)
+                    self.modified_point3d_ids.discard(pid)
+                    self.modified_point3d_ids.discard(cpid)
+                    self.modified_point3d_ids.add(mpid)
+                    rec_merged = self._merge(options, mpid)
+                    return rec_merged if rec_merged > 0 else num_merged
+        return 0
+
+    def merge_tracks(self, options: TriangulatorOptions,
+                     point3d_ids: Set[int]) -> int:
+        self._merge_trials.clear()
+        n = 0
+        for pid in list(point3d_ids):
+            n += self._merge(options, pid)
+        return n
+
+    def merge_all_tracks(self, options: TriangulatorOptions) -> int:
+        return self.merge_tracks(options, set(self.rec.points3d.keys()))
+
+    def complete_tracks(self, options: TriangulatorOptions,
+                        point3d_ids: Set[int]) -> int:
+        n = 0
+        for pid in list(point3d_ids):
+            n += self._complete(options, pid)
+        return n
+
+    def complete_all_tracks(self, options: TriangulatorOptions) -> int:
+        return self.complete_tracks(options, set(self.rec.points3d.keys()))
+
+
+def _estimate_triangulation_pixel(lines, proj, centers, params, valid,
+                                  camera_model, width, height, max_err,
+                                  min_ang):
+    """Pixel-residual variant of the LORANSAC estimator (CompleteImage)."""
+    from privacy_preserving_sfm_tpu.ops import triangulation as tri_ops
+    from privacy_preserving_sfm_tpu.solvers import ransac as ransac_mod
+    from privacy_preserving_sfm_tpu.solvers.triangulation import (
+        _combinations3, TriangulationResult, BIG)
+
+    n = lines.shape[0]
+    combos = jnp.asarray(_combinations3(min(n, 15)))
+    s_valid = jnp.all(valid[combos], axis=-1)
+    s_lines = lines[combos]
+    s_proj = proj[combos]
+    s_centers = centers[combos]
+    X = tri_ops.triangulate_multiview_lines(s_proj, s_lines)
+    xyz = jnp.einsum("cnij,cj->cni", s_proj[..., :3], X) + s_proj[..., 3]
+    cheiral = jnp.all(xyz[..., 2] > 0, axis=-1)
+    ang01 = tri_ops.triangulation_angle(s_centers[:, 0], s_centers[:, 1], X)
+    ang02 = tri_ops.triangulation_angle(s_centers[:, 0], s_centers[:, 2], X)
+    ang12 = tri_ops.triangulation_angle(s_centers[:, 1], s_centers[:, 2], X)
+    good_angle = (jnp.maximum(jnp.maximum(ang01, ang02), ang12) >= min_ang)
+    s_valid = s_valid & cheiral & good_angle & jnp.all(jnp.isfinite(X), -1)
+
+    err = line_ops.squared_line_reprojection_error(
+        lines[None], X[:, None], proj[None], camera_model, params[None],
+        width, height)
+    err = jnp.where(s_valid[:, None], err, BIG)
+    thresh = jnp.asarray(max_err) ** 2
+    score, num, inl = ransac_mod.inlier_score(err, thresh, valid[None])
+    best = ransac_mod.select_best(X, score, num, inl)
+
+    X_lo = tri_ops.triangulate_multiview_lines(proj, lines,
+                                               mask=best.inlier_mask)
+    err_lo = line_ops.squared_line_reprojection_error(
+        lines, X_lo[None], proj, camera_model, params, width, height)
+    err_lo = jnp.where(jnp.all(jnp.isfinite(X_lo)), err_lo, BIG)
+    score_lo, num_lo, inl_lo = ransac_mod.inlier_score(err_lo, thresh, valid)
+    use_lo = score_lo > best.score
+    point = jnp.where(use_lo, X_lo, best.model)
+    num_f = jnp.where(use_lo, num_lo, best.num_inliers)
+    inl_f = jnp.where(use_lo, inl_lo, best.inlier_mask)
+    return TriangulationResult(point3d=point, num_inliers=num_f,
+                               inlier_mask=inl_f, success=num_f >= 3)

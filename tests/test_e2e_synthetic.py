@@ -1,0 +1,146 @@
+"""End-to-end incremental reconstruction on a synthetic scene.
+
+The full pipeline below the feature extractor: synthetic GT scene ->
+privacy line lifting -> SQLite database -> caches -> controller
+(init, registration, triangulation, local/global BA) -> pose parity vs GT
+up to a similarity gauge (the reference's evaluation protocol:
+compare_colmap_poses.m).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from privacy_preserving_sfm_tpu.models.database import Database
+from privacy_preserving_sfm_tpu.ops import lie
+from privacy_preserving_sfm_tpu.sfm.controller import (
+    ControllerOptions, IncrementalMapperController,
+)
+from privacy_preserving_sfm_tpu.sfm.incremental_mapper import MapperOptions
+
+
+def build_synthetic_db(path, rng, num_images=8, num_points=120,
+                       aligned_ratio=0.5, drop_prob=0.1):
+    """GT scene -> lifted lines + perfect matches in a SQLite database."""
+    # Cameras on an arc looking at the cloud.
+    qs, ts = [], []
+    for i in range(num_images):
+        yaw = -0.35 + 0.7 * i / max(1, num_images - 1)
+        q_yaw = np.array([np.cos(yaw / 2), 0, np.sin(yaw / 2), 0])
+        ax = rng.standard_normal(3) * 0.05
+        ang = np.linalg.norm(ax) + 1e-12
+        q_tilt = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * ax / ang])
+        q = np.asarray(lie.quat_multiply(jnp.asarray(q_tilt),
+                                         jnp.asarray(q_yaw)))
+        t = np.array([-1.0 + 2.0 * i / max(1, num_images - 1),
+                      rng.uniform(-0.1, 0.1), rng.uniform(-0.2, 0.2)])
+        qs.append(q)
+        ts.append(t)
+    qs, ts = np.stack(qs), np.stack(ts)
+    pts = rng.uniform(-1.5, 1.5, (num_points, 3))
+    pts[:, 2] = np.abs(pts[:, 2]) + 3.0
+    # Per-POINT aligned split (like the reference test fixture
+    # setup_random_lines): an aligned track is aligned in every view.
+    aligned = rng.uniform(size=num_points) < aligned_ratio
+
+    with Database(path) as db:
+        cam_id = db.write_camera("SIMPLE_PINHOLE", 640, 480,
+                                 np.array([500.0, 320.0, 240.0]))
+        image_ids = []
+        visible = []
+        for i in range(num_images):
+            iid = db.write_image(f"img{i:03d}.png", cam_id)
+            image_ids.append(iid)
+            R = np.asarray(lie.quat_to_rotmat(jnp.asarray(qs[i])))
+            Xc = pts @ R.T + ts[i]
+            uv = Xc[:, :2] / Xc[:, 2:3]
+            pix = uv * 500.0 + np.array([320.0, 240.0])
+            vis = ((Xc[:, 2] > 0.2) & (pix[:, 0] >= 0) & (pix[:, 0] < 640)
+                   & (pix[:, 1] >= 0) & (pix[:, 1] < 480)
+                   & (rng.uniform(size=num_points) > drop_prob))
+            visible.append(vis)
+            g = R @ np.array([0.0, 1.0, 0.0])
+            hom = np.concatenate([uv, np.ones((num_points, 1))], axis=1)
+            dirs = np.where(aligned[:, None],
+                            np.broadcast_to(g, (num_points, 3)),
+                            rng.standard_normal((num_points, 3)))
+            lines = np.cross(dirs, hom)
+            lines /= np.linalg.norm(lines[:, :2], axis=-1, keepdims=True)
+            # Feature j of this image <-> global point j (dense indexing;
+            # invisible features keep garbage lines but never match).
+            lines[~vis] = rng.standard_normal((int((~vis).sum()), 3))
+            lines[~vis] /= np.linalg.norm(lines[~vis, :2], axis=-1,
+                                          keepdims=True)
+            db.write_lines(iid, lines, aligned)
+            db.write_gravity(iid, g)
+        for a in range(num_images):
+            for b in range(a + 1, num_images):
+                both = np.nonzero(visible[a] & visible[b])[0]
+                m = np.stack([both, both], axis=1).astype(np.uint32)
+                db.write_matches(image_ids[a], image_ids[b], m)
+    return qs, ts, pts, image_ids
+
+
+def similarity_align(src: np.ndarray, dst: np.ndarray):
+    """Umeyama similarity alignment src -> dst; returns (s, R, t)."""
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    cs = src - mu_s
+    cd = dst - mu_d
+    cov = cd.T @ cs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var = (cs ** 2).sum() / len(src)
+    s = np.trace(np.diag(D) @ S) / var
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(rec, qs, ts, image_ids):
+    """Absolute trajectory error after similarity alignment."""
+    gt_centers, est_centers, rot_errs = [], [], []
+    for i, iid in enumerate(image_ids):
+        img = rec.images.get(iid)
+        if img is None or not img.registered:
+            continue
+        gt_centers.append(np.asarray(lie.projection_center(
+            jnp.asarray(qs[i]), jnp.asarray(ts[i]))))
+        est_centers.append(img.projection_center())
+    gt_centers = np.stack(gt_centers)
+    est_centers = np.stack(est_centers)
+    s, R, t = similarity_align(est_centers, gt_centers)
+    aligned = (s * (R @ est_centers.T)).T + t
+    return float(np.sqrt(((aligned - gt_centers) ** 2).sum(-1).mean()))
+
+
+FAST = ControllerOptions(
+    min_model_size=4,
+    mapper=MapperOptions(num_hypotheses=512, init_num_samples=256,
+                         abs_pose_min_num_inliers=15),
+    verbose=False,
+)
+
+
+class TestEndToEnd:
+    @pytest.mark.slow
+    def test_full_pipeline_clean(self, tmp_path):
+        rng = np.random.default_rng(0)
+        path = str(tmp_path / "scene.db")
+        qs, ts, pts, image_ids = build_synthetic_db(path, rng)
+        ctrl = IncrementalMapperController(FAST, database_path=path)
+        recs = ctrl.run()
+        assert recs, "no reconstruction produced"
+        rec = max(recs, key=lambda r: r.num_registered())
+        assert rec.num_registered() >= 7, (
+            f"only {rec.num_registered()}/8 registered")
+        assert len(rec.points3d) >= 40, f"only {len(rec.points3d)} points"
+        err = ate_rmse(rec, qs, ts, image_ids)
+        # Scene extent ~10 after Normalize; demand sub-1% ATE.
+        assert err < 0.05, f"ATE {err}"
+        mean_err = rec.compute_mean_reprojection_error()
+        assert mean_err < 1.0, f"mean reproj {mean_err}px"
