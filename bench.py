@@ -1,0 +1,118 @@
+"""Benchmark: implicit-Schur line-BA throughput on the flagship problem.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The hot loop of the privacy-preserving SfM pipeline is point-to-line bundle
+adjustment (SURVEY.md §3.3: global/local Ceres BA dominates the reference's
+runtime).  This bench measures steady-state residual-evaluations per second
+of the LM kernel on a production-shaped problem (100 cameras, 20k points,
+~120k observations, f32), i.e. observations x LM-iterations / wall second.
+
+``vs_baseline`` is relative to the round-1 reference value recorded below
+(the reference repo publishes no numbers — BASELINE.md — so the baseline is
+self-measured; the first TPU measurement of this kernel defines 1.0).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 reference throughput (obs-iterations/s) for vs_baseline.
+# Measured on TPU v5e-1 at round 1; earlier rounds' driver logs hold history.
+BASELINE_OBS_ITERS_PER_S = 50.0e6
+
+NUM_CAMS = 100
+NUM_POINTS = 20_000
+OBS_PER_POINT = 6
+LM_ITERS = 20
+CG_ITERS = 30
+
+
+def build_problem(rng, dtype):
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.ops import lie
+    from privacy_preserving_sfm_tpu.optim import ba
+
+    pts = rng.uniform(-5, 5, (NUM_POINTS, 3))
+    pts[:, 2] += 12.0
+    qs = np.zeros((NUM_CAMS, 4))
+    ts = np.zeros((NUM_CAMS, 3))
+    for c in range(NUM_CAMS):
+        yaw = rng.uniform(-0.5, 0.5)
+        qs[c] = [np.cos(yaw / 2), 0, np.sin(yaw / 2), 0]
+        ts[c] = [rng.uniform(-4, 4), rng.uniform(-0.5, 0.5),
+                 rng.uniform(-1, 1)]
+
+    # Each point observed by OBS_PER_POINT random cameras.
+    obs_cam = rng.integers(0, NUM_CAMS, (NUM_POINTS, OBS_PER_POINT))
+    obs_point = np.repeat(np.arange(NUM_POINTS), OBS_PER_POINT)
+    obs_cam = obs_cam.reshape(-1)
+
+    import jax
+
+    Rm = np.asarray(lie.quat_to_rotmat(jnp.asarray(qs)))
+    Xc = np.einsum("oij,oj->oi", Rm[obs_cam], pts[obs_point]) + ts[obs_cam]
+    z = np.maximum(Xc[:, 2], 0.5)
+    uv = Xc[:, :2] / z[:, None]
+    hom = np.concatenate([uv, np.ones((len(uv), 1))], 1)
+    lines = np.cross(rng.standard_normal((len(uv), 3)), hom)
+    lines /= np.linalg.norm(lines[:, :2], axis=-1, keepdims=True)
+
+    mask = np.ones((NUM_CAMS, 6))
+    mask[0] = 0.0
+    mask[1, 3] = 0.0
+
+    return ba.BAProblem(
+        qvecs=jnp.asarray(qs + rng.normal(0, 1e-3, qs.shape), dtype),
+        tvecs=jnp.asarray(ts + rng.normal(0, 1e-2, ts.shape), dtype),
+        cam_params=jnp.broadcast_to(
+            jnp.asarray([500.0, 320.0, 240.0], dtype), (NUM_CAMS, 3)),
+        points3d=jnp.asarray(pts + rng.normal(0, 1e-2, pts.shape), dtype),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_line=jnp.asarray(lines, dtype),
+        obs_weight=jnp.ones(len(obs_cam), dtype),
+        cam_dof_mask=jnp.asarray(mask, dtype),
+        point_mask=jnp.ones(NUM_POINTS, dtype))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.optim import ba
+
+    rng = np.random.default_rng(0)
+    problem = build_problem(rng, jnp.float32)
+    opts = ba.BAOptions(max_iterations=LM_ITERS, cg_iterations=CG_ITERS,
+                        function_tolerance=0.0)  # fixed work per solve
+
+    step = jax.jit(lambda p: ba.bundle_adjust(p, "SIMPLE_PINHOLE", opts))
+
+    # Warmup / compile.
+    out = step(problem)
+    jax.block_until_ready(out)
+    iters_run = int(out[3].num_iterations)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = step(problem)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    num_obs = int(problem.obs_cam.shape[0])
+    value = num_obs * iters_run / best
+    print(json.dumps({
+        "metric": "line_ba_obs_iters_per_s",
+        "value": value,
+        "unit": "obs*iter/s",
+        "vs_baseline": value / BASELINE_OBS_ITERS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()
