@@ -1,0 +1,321 @@
+"""ppsfm CLI: subcommand dispatch mirroring the reference executable.
+
+Subcommands (``src/exe/ppsfm.cc:966-976``): automatic_reconstructor,
+bundle_adjuster, database_creator, exhaustive_matcher, feature_extractor,
+image_filterer, mapper, project_generator, sequential_matcher,
+line_initializer.  (``gui`` is out of scope; use the PLY export + any
+viewer.)
+
+Usage: ``python -m privacy_preserving_sfm_tpu.exe <subcommand> [args]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_db_arg(p):
+    p.add_argument("--database_path", required=True)
+
+
+def cmd_database_creator(args):
+    from privacy_preserving_sfm_tpu.models.database import Database
+
+    with Database(args.database_path):
+        pass
+    print(f"Created database at {args.database_path}")
+
+
+def cmd_feature_extractor(args):
+    import jax
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.features import extraction, sift
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.ops.cameras import MODELS
+    from privacy_preserving_sfm_tpu.utils.timer import Timer, print_heading1
+
+    print_heading1("Feature extraction")
+    timer = Timer()
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+    names = sorted(n for n in os.listdir(args.image_path)
+                   if n.lower().endswith(exts))
+    sift_opts = sift.SiftOptions(max_num_features=args.max_num_features)
+    key = jax.random.PRNGKey(args.seed)
+
+    with Database(args.database_path) as db:
+        existing = {v["name"]: k for k, v in db.read_images().items()}
+        camera_ids = {}
+        for idx, name in enumerate(names):
+            path = os.path.join(args.image_path, name)
+            cam_info = extraction.read_camera_model_file(path)
+            if cam_info is None:
+                print(f"  {name}: no .camera_model.txt, skipping")
+                continue
+            gravity = extraction.read_gravity_file(path)
+            if gravity is None:
+                print(f"  {name}: no .gravity.txt, skipping")
+                continue
+            model, params = cam_info
+            assert model in MODELS, f"unknown camera model {model}"
+
+            img = extraction.load_image_grayscale(path)
+            h, w = img.shape
+            img_r, scale = extraction.resize_to_max(img, args.max_image_size)
+            params_scaled = params.copy()
+            if scale != 1.0:
+                spec = MODELS[model]
+                for i in spec.focal_idxs + spec.principal_idxs:
+                    params_scaled[i] *= scale
+
+            cam_key = (model, tuple(params), w, h)
+            if cam_key not in camera_ids:
+                camera_ids[cam_key] = db.write_camera(model, w, h, params)
+            if name in existing:
+                iid = existing[name]
+            else:
+                iid = db.write_image(name, camera_ids[cam_key])
+            if db.exists_lines(iid) and db.exists_descriptors(iid):
+                continue
+
+            key, k1 = jax.random.split(key)
+            lf = extraction.extract_and_lift(
+                k1, jnp.asarray(img_r, jnp.float32), model,
+                jnp.asarray(params_scaled, jnp.float32),
+                jnp.asarray(gravity, jnp.float32), sift_opts,
+                args.aligned_line_ratio)
+            valid = np.asarray(lf.valid)
+            db.write_descriptors(iid, np.asarray(lf.descriptors)[valid])
+            db.write_lines(iid, np.asarray(lf.lines)[valid],
+                           np.asarray(lf.aligned)[valid])
+            db.write_gravity(iid, gravity)
+            print(f"  {name}: {int(valid.sum())} features "
+                  f"({int(np.asarray(lf.aligned)[valid].sum())} aligned)")
+        db.commit()
+    timer.print_minutes()
+
+
+def _run_matcher(args, scheduler: str):
+    from privacy_preserving_sfm_tpu.features import schedulers
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.utils.timer import Timer, print_heading1
+
+    print_heading1(f"{scheduler.capitalize()} feature matching")
+    timer = Timer()
+    with Database(args.database_path) as db:
+        images = db.read_images()
+        ids = sorted(images.keys(), key=lambda i: images[i]["name"])
+        if scheduler == "exhaustive":
+            pairs = schedulers.exhaustive_pairs(ids, args.block_size)
+        else:
+            pairs = schedulers.sequential_pairs(ids, args.overlap)
+        n = schedulers.match_pair_list(
+            db, ids, pairs, min_num_matches=args.min_num_matches,
+            verbose=True)
+        print(f"  => {n}/{len(pairs)} pairs above threshold")
+    timer.print_minutes()
+
+
+def cmd_exhaustive_matcher(args):
+    _run_matcher(args, "exhaustive")
+
+
+def cmd_sequential_matcher(args):
+    _run_matcher(args, "sequential")
+
+
+def cmd_mapper(args):
+    from privacy_preserving_sfm_tpu.sfm.controller import (
+        ControllerOptions, IncrementalMapperController,
+    )
+    from privacy_preserving_sfm_tpu.utils.config import AllOptions
+    from privacy_preserving_sfm_tpu.utils.timer import Timer
+
+    timer = Timer()
+    opts = ControllerOptions()
+    ctrl = IncrementalMapperController(opts, database_path=args.database_path)
+    recs = ctrl.run()
+    os.makedirs(args.output_path, exist_ok=True)
+    for i, rec in enumerate(recs):
+        out = os.path.join(args.output_path, str(i))
+        rec.write_text(out)
+        all_opts = AllOptions(database_path=args.database_path,
+                              image_path=args.image_path or "")
+        all_opts.save(os.path.join(out, "project.ini"))
+        print(f"  model {i}: {rec.num_registered()} images, "
+              f"{len(rec.points3d)} points, "
+              f"mean reproj {rec.compute_mean_reprojection_error():.3f}px")
+    timer.print_minutes()
+
+
+def cmd_bundle_adjuster(args):
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.models.database_cache import DatabaseCache
+    from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
+    from privacy_preserving_sfm_tpu.optim import ba as ba_mod
+    from privacy_preserving_sfm_tpu.sfm.incremental_mapper import (
+        IncrementalMapper, MapperOptions,
+    )
+    from privacy_preserving_sfm_tpu.utils.timer import Timer, print_heading1
+
+    print_heading1("Global bundle adjustment")
+    timer = Timer()
+    rec = Reconstruction.read_text(args.input_path)
+    rec.filter_observations_with_negative_depth()
+    # A standalone BA needs no correspondence graph; reuse the mapper's
+    # problem assembly with an empty cache.
+    cache = DatabaseCache()
+    cache.cameras = rec.cameras
+    cache.images = rec.images
+    mapper = IncrementalMapper(cache)
+    mapper.begin_reconstruction(rec)
+    opts = ba_mod.BAOptions(max_iterations=args.max_num_iterations)
+    mapper.adjust_global_bundle(MapperOptions(), opts)
+    os.makedirs(args.output_path, exist_ok=True)
+    rec.write_text(args.output_path)
+    print(f"  mean reproj error: "
+          f"{rec.compute_mean_reprojection_error():.4f}px")
+    timer.print_minutes()
+
+
+def cmd_image_filterer(args):
+    from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read_text(args.input_path)
+    before = rec.num_registered()
+    rec.filter_points3d(args.max_reproj_error, args.min_tri_angle)
+    filtered = rec.filter_images()
+    os.makedirs(args.output_path, exist_ok=True)
+    rec.write_text(args.output_path)
+    print(f"Filtered {len(filtered)} of {before} images")
+
+
+def cmd_line_initializer(args):
+    """Standalone 4-view init debug tool (``ppsfm.cc:510-960``)."""
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.models.database_cache import DatabaseCache
+    from privacy_preserving_sfm_tpu.sfm.incremental_mapper import (
+        IncrementalMapper, MapperOptions,
+    )
+
+    with Database(args.database_path) as db:
+        cache = DatabaseCache.load(db, min_num_matches=4)
+    rec = cache.to_reconstruction()
+    mapper = IncrementalMapper(cache)
+    mapper.begin_reconstruction(rec)
+    ok = mapper.register_initial_line_images(MapperOptions(), cache)
+    if not ok:
+        print("Initialization failed")
+        sys.exit(1)
+    os.makedirs(args.output_path, exist_ok=True)
+    rec.write_text(args.output_path)
+    print(f"Initialized with images {rec.reg_image_ids} "
+          f"({len(rec.points3d)} points)")
+
+
+def cmd_project_generator(args):
+    from privacy_preserving_sfm_tpu.utils.config import AllOptions
+
+    opts = AllOptions(database_path=args.database_path or "",
+                      image_path=args.image_path or "")
+    if args.quality:
+        opts.apply_quality_preset(args.quality)
+    opts.save(args.output_path)
+    print(f"Wrote project file to {args.output_path}")
+
+
+def cmd_automatic_reconstructor(args):
+    from privacy_preserving_sfm_tpu.utils.config import AllOptions
+
+    opts = AllOptions()
+    if args.quality:
+        opts.apply_quality_preset(args.quality)
+    args.database_path = os.path.join(args.workspace_path, "database.db")
+    args.max_image_size = opts.extraction.max_image_size
+    args.max_num_features = opts.extraction.sift.max_num_features
+    args.aligned_line_ratio = opts.extraction.aligned_line_ratio
+    args.seed = 0
+    args.min_num_matches = opts.matching.min_num_matches
+    args.block_size = opts.matching.block_size
+    args.output_path = os.path.join(args.workspace_path, "sparse")
+    os.makedirs(args.workspace_path, exist_ok=True)
+    cmd_feature_extractor(args)
+    cmd_exhaustive_matcher(args)
+    cmd_mapper(args)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="ppsfm", description="TPU-native privacy-preserving SfM")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("database_creator")
+    _add_db_arg(p)
+    p.set_defaults(func=cmd_database_creator)
+
+    p = sub.add_parser("feature_extractor")
+    _add_db_arg(p)
+    p.add_argument("--image_path", required=True)
+    p.add_argument("--max_image_size", type=int, default=3200)
+    p.add_argument("--max_num_features", type=int, default=8192)
+    p.add_argument("--aligned_line_ratio", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_feature_extractor)
+
+    for name in ("exhaustive_matcher", "sequential_matcher"):
+        p = sub.add_parser(name)
+        _add_db_arg(p)
+        p.add_argument("--min_num_matches", type=int, default=15)
+        p.add_argument("--block_size", type=int, default=50)
+        p.add_argument("--overlap", type=int, default=10)
+        p.set_defaults(func=cmd_exhaustive_matcher
+                       if name == "exhaustive_matcher"
+                       else cmd_sequential_matcher)
+
+    p = sub.add_parser("mapper")
+    _add_db_arg(p)
+    p.add_argument("--image_path", default="")
+    p.add_argument("--output_path", required=True)
+    p.set_defaults(func=cmd_mapper)
+
+    p = sub.add_parser("bundle_adjuster")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--max_num_iterations", type=int, default=100)
+    p.set_defaults(func=cmd_bundle_adjuster)
+
+    p = sub.add_parser("image_filterer")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--max_reproj_error", type=float, default=4.0)
+    p.add_argument("--min_tri_angle", type=float, default=1.5)
+    p.set_defaults(func=cmd_image_filterer)
+
+    p = sub.add_parser("line_initializer")
+    _add_db_arg(p)
+    p.add_argument("--output_path", required=True)
+    p.set_defaults(func=cmd_line_initializer)
+
+    p = sub.add_parser("project_generator")
+    p.add_argument("--database_path", default="")
+    p.add_argument("--image_path", default="")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--quality", default="")
+    p.set_defaults(func=cmd_project_generator)
+
+    p = sub.add_parser("automatic_reconstructor")
+    p.add_argument("--workspace_path", required=True)
+    p.add_argument("--image_path", required=True)
+    p.add_argument("--quality", default="high")
+    p.set_defaults(func=cmd_automatic_reconstructor)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

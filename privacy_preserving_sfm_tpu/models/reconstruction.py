@@ -68,17 +68,21 @@ class Image:
     def num_points3d(self) -> int:
         return int((self.point3d_ids != _INVALID).sum())
 
+    def rotation_matrix(self) -> np.ndarray:
+        """Pure-numpy quat -> R (hot path for host orchestration loops)."""
+        q = self.qvec / np.linalg.norm(self.qvec)
+        w, x, y, z = q
+        return np.array([
+            [w*w + x*x - y*y - z*z, 2*(x*y - w*z), 2*(x*z + w*y)],
+            [2*(x*y + w*z), w*w - x*x + y*y - z*z, 2*(y*z - w*x)],
+            [2*(x*z - w*y), 2*(y*z + w*x), w*w - x*x - y*y + z*z]])
+
     def projection_matrix(self) -> np.ndarray:
-        from privacy_preserving_sfm_tpu.ops import lie
-        import jax.numpy as jnp
-        return np.asarray(lie.pose_compose(jnp.asarray(self.qvec),
-                                           jnp.asarray(self.tvec)))
+        return np.concatenate([self.rotation_matrix(),
+                               self.tvec[:, None]], axis=1)
 
     def projection_center(self) -> np.ndarray:
-        from privacy_preserving_sfm_tpu.ops import lie
-        import jax.numpy as jnp
-        return np.asarray(lie.projection_center(jnp.asarray(self.qvec),
-                                                jnp.asarray(self.tvec)))
+        return -self.rotation_matrix().T @ self.tvec
 
 
 @dataclasses.dataclass
@@ -189,16 +193,13 @@ class Reconstruction:
 
     def _squared_line_reproj_error(self, image: Image, line_idx: int,
                                    xyz: np.ndarray) -> float:
-        import jax.numpy as jnp
-        from privacy_preserving_sfm_tpu.ops import lines as line_ops
+        from privacy_preserving_sfm_tpu.sfm import kernels as sfm_kernels
 
         cam = self.cameras[image.camera_id]
-        proj = image.projection_matrix()
-        err = line_ops.squared_line_reprojection_error(
-            jnp.asarray(image.lines[line_idx]), jnp.asarray(xyz),
-            jnp.asarray(proj), cam.model, jnp.asarray(cam.params),
-            cam.width, cam.height)
-        return float(err)
+        k = sfm_kernels.squared_pixel_error_kernel(cam.model)
+        return float(k(image.lines[line_idx], np.asarray(xyz, float),
+                       image.projection_matrix(), cam.params,
+                       cam.width, cam.height))
 
     def filter_points3d(self, max_reproj_error: float, min_tri_angle_deg: float,
                         point3d_ids: Optional[Set[int]] = None) -> int:

@@ -34,6 +34,7 @@ from privacy_preserving_sfm_tpu.models.correspondence_graph import (
 )
 from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
 from privacy_preserving_sfm_tpu.ops import lines as line_ops
+from privacy_preserving_sfm_tpu.sfm import kernels as sfm_kernels
 from privacy_preserving_sfm_tpu.solvers import triangulation as tri_est
 
 MAX_POOL = 24  # fixed padding for the jitted estimator
@@ -120,15 +121,18 @@ class IncrementalTriangulator:
         return res
 
     def _pixel_error(self, image, line_idx: int, xyz: np.ndarray) -> float:
-        return self.rec._squared_line_reproj_error(image, line_idx, xyz)
+        cam = self.rec.cameras[image.camera_id]
+        k = sfm_kernels.squared_pixel_error_kernel(cam.model)
+        return float(k(image.lines[line_idx], xyz,
+                       image.projection_matrix(), cam.params,
+                       cam.width, cam.height))
 
     def _angular_error(self, image, line_idx: int, xyz) -> float:
         cam = self.rec.cameras[image.camera_id]
-        err = line_ops.line_angular_error(
-            jnp.asarray(image.lines[line_idx]), jnp.asarray(xyz),
-            jnp.asarray(image.projection_matrix()), cam.model,
-            jnp.asarray(cam.params), cam.width, cam.height)
-        return float(err)
+        k = sfm_kernels.angular_error_kernel(cam.model)
+        return float(k(image.lines[line_idx], np.asarray(xyz),
+                       image.projection_matrix(), cam.params,
+                       cam.width, cam.height))
 
     # -- Find ------------------------------------------------------------
 

