@@ -18,15 +18,25 @@ import numpy as np
 from privacy_preserving_sfm_tpu.models.correspondence_graph import (
     CorrespondenceGraph,
 )
+
+
 from privacy_preserving_sfm_tpu.models.database import Database
 from privacy_preserving_sfm_tpu.models.reconstruction import Camera, Image
+
+
+def _make_graph():
+    """Native C++ graph when buildable, pure Python otherwise."""
+    from privacy_preserving_sfm_tpu.models import native_graph
+    if native_graph.available():
+        return native_graph.NativeCorrespondenceGraph()
+    return CorrespondenceGraph()
 
 
 class DatabaseCache:
     def __init__(self):
         self.cameras: Dict[int, Camera] = {}
         self.images: Dict[int, Image] = {}
-        self.graph = CorrespondenceGraph()
+        self.graph = _make_graph()
 
     @classmethod
     def load(cls, db: Database, min_num_matches: int = 15,

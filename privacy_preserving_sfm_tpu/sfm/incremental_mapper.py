@@ -105,6 +105,20 @@ class IncrementalMapper:
         all_aligned: Dict[Tuple, Set[Tuple]] = {}
         all_unaligned: Dict[Tuple, Set[Tuple]] = {}
 
+        if hasattr(graph, "assemble_four_view_tracks"):
+            # Native C++ fast path (native/graph.cpp).
+            flags = {iid: np.ascontiguousarray(
+                aligned_cache.images[iid].aligned, np.uint8)
+                for iid in image_ids}
+            for want, container in ((True, all_aligned),
+                                    (False, all_unaligned)):
+                got = graph.assemble_four_view_tracks(
+                    list(check_ids), image_ids, flags, want)
+                for key, feats in got.items():
+                    container[key] = {tuple(int(v) for v in row)
+                                      for row in feats}
+            check_ids = []  # skip the Python enumeration below
+
         for image_id in check_ids:
             img = aligned_cache.images[image_id]
             for line_idx in range(img.num_lines):
