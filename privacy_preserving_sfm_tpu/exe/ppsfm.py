@@ -137,7 +137,16 @@ def cmd_mapper(args):
 
     timer = Timer()
     opts = ControllerOptions()
-    ctrl = IncrementalMapperController(opts, database_path=args.database_path)
+    input_rec = None
+    if getattr(args, "input_path", ""):
+        from privacy_preserving_sfm_tpu.models.reconstruction import (
+            Reconstruction,
+        )
+        input_rec = Reconstruction.read_text(args.input_path)
+        print(f"  resuming from {args.input_path} "
+              f"({input_rec.num_registered()} images)")
+    ctrl = IncrementalMapperController(opts, database_path=args.database_path,
+                                       input_reconstruction=input_rec)
     recs = ctrl.run()
     os.makedirs(args.output_path, exist_ok=True)
     for i, rec in enumerate(recs):
@@ -279,6 +288,7 @@ def main(argv=None):
     p = sub.add_parser("mapper")
     _add_db_arg(p)
     p.add_argument("--image_path", default="")
+    p.add_argument("--input_path", default="")
     p.add_argument("--output_path", required=True)
     p.set_defaults(func=cmd_mapper)
 

@@ -83,12 +83,16 @@ class IncrementalMapperController:
     def __init__(self, options: ControllerOptions,
                  database_path: Optional[str] = None,
                  database_cache: Optional[DatabaseCache] = None,
-                 aligned_cache: Optional[DatabaseCache] = None):
+                 aligned_cache: Optional[DatabaseCache] = None,
+                 input_reconstruction: Optional[Reconstruction] = None):
         self.options = options
         self.database_path = database_path
         self.database_cache = database_cache
         self.aligned_cache = aligned_cache
         self.reconstructions: List[Reconstruction] = []
+        # Resume support (mapper --input_path, ppsfm.cc:392-399): an existing
+        # model whose poses/points seed the first reconstruction attempt.
+        self.input_reconstruction = input_reconstruction
 
     def _log(self, msg: str):
         if self.options.verbose:
@@ -171,6 +175,38 @@ class IncrementalMapperController:
         n += mapper.merge_tracks(self.options.triangulation)
         return n
 
+    def _seed_from_input(self, rec: Reconstruction,
+                         input_rec: Reconstruction):
+        """Copy poses/registration/points from a resumed model."""
+        for iid, img_in in input_rec.images.items():
+            if iid in rec.images and img_in.registered:
+                img = rec.images[iid]
+                img.qvec = np.array(img_in.qvec)
+                img.tvec = np.array(img_in.tvec)
+                rec.register_image(iid)
+        for pt in input_rec.points3d.values():
+            track = [(iid, li) for iid, li in pt.track
+                     if iid in rec.images
+                     and li < rec.images[iid].num_lines
+                     and rec.images[iid].point3d_ids[li] < 0]
+            if len(track) >= 2:
+                rec.add_point3d(pt.xyz, track)
+
+    def _maybe_snapshot(self, rec: Reconstruction):
+        """Timestamped model snapshots every snapshot_images_freq
+        registrations (controllers/incremental_mapper.cc:126-140)."""
+        if self.options.snapshot_images_freq <= 0 or \
+                not self.options.snapshot_path:
+            return
+        n = rec.num_registered()
+        prev = getattr(self, "_snapshot_prev_num", 0)
+        if n >= prev + self.options.snapshot_images_freq:
+            self._snapshot_prev_num = n
+            stamp = int(time.time() * 1000)
+            path = os.path.join(self.options.snapshot_path, str(stamp))
+            rec.write_text(path)
+            self._log(f"  => Snapshot written to {path}")
+
     # -- main reconstruction loop ---------------------------------------
 
     def reconstruct(self, init_mapper_options: MapperOptions):
@@ -183,13 +219,16 @@ class IncrementalMapperController:
                 img.registered = False
                 img.point3d_ids = np.full(img.num_lines, -1, np.int64)
             rec.reg_image_ids = []
+            if num_trials == 0 and self.input_reconstruction is not None:
+                self._seed_from_input(rec, self.input_reconstruction)
             mapper = IncrementalMapper(self.database_cache)
             mapper.begin_reconstruction(rec)
             init_mapper_options.seed = (init_mapper_options.seed or 0) \
                 + num_trials
 
-            if not mapper.register_initial_line_images(
-                    init_mapper_options, self.aligned_cache):
+            if rec.num_registered() == 0 and not \
+                    mapper.register_initial_line_images(
+                        init_mapper_options, self.aligned_cache):
                 self._log("  => Initialization failed.")
                 break
 
@@ -223,6 +262,7 @@ class IncrementalMapperController:
                         mapper.triangulate_image(self.options.triangulation,
                                                  next_image_id)
                         self.iterative_local_refinement(mapper, next_image_id)
+                        self._maybe_snapshot(rec)
                         if (rec.num_registered() >=
                                 self.options.ba_global_images_ratio
                                 * ba_prev_num_reg
