@@ -98,6 +98,13 @@ class IncrementalMapperController:
         if self.options.verbose:
             print(msg, flush=True)
 
+    @property
+    def profiler(self):
+        from privacy_preserving_sfm_tpu.utils.timer import PhaseProfiler
+        if not hasattr(self, "_profiler"):
+            self._profiler = PhaseProfiler()
+        return self._profiler
+
     def load_database(self) -> bool:
         """Build the full + aligned caches (``LoadDatabase``, ``:316-380``).
 
@@ -226,9 +233,11 @@ class IncrementalMapperController:
             init_mapper_options.seed = (init_mapper_options.seed or 0) \
                 + num_trials
 
-            if rec.num_registered() == 0 and not \
-                    mapper.register_initial_line_images(
-                        init_mapper_options, self.aligned_cache):
+            with self.profiler.phase("init"):
+                init_ok = (rec.num_registered() > 0
+                           or mapper.register_initial_line_images(
+                               init_mapper_options, self.aligned_cache))
+            if not init_ok:
                 self._log("  => Initialization failed.")
                 break
 
@@ -256,12 +265,16 @@ class IncrementalMapperController:
                     self._log(
                         f"Registering image #{next_image_id} "
                         f"({rec.num_registered() + 1})")
-                    reg_next_success = mapper.register_next_image(
-                        self.options.mapper, next_image_id)
+                    with self.profiler.phase("register"):
+                        reg_next_success = mapper.register_next_image(
+                            self.options.mapper, next_image_id)
                     if reg_next_success:
-                        mapper.triangulate_image(self.options.triangulation,
-                                                 next_image_id)
-                        self.iterative_local_refinement(mapper, next_image_id)
+                        with self.profiler.phase("triangulate"):
+                            mapper.triangulate_image(
+                                self.options.triangulation, next_image_id)
+                        with self.profiler.phase("local_refine"):
+                            self.iterative_local_refinement(mapper,
+                                                            next_image_id)
                         self._maybe_snapshot(rec)
                         if (rec.num_registered() >=
                                 self.options.ba_global_images_ratio
@@ -275,7 +288,8 @@ class IncrementalMapperController:
                                 or len(rec.points3d) >=
                                 self.options.ba_global_points_freq
                                 + ba_prev_num_points):
-                            self.iterative_global_refinement(mapper)
+                            with self.profiler.phase("global_refine"):
+                                self.iterative_global_refinement(mapper)
                             ba_prev_num_reg = rec.num_registered()
                             ba_prev_num_points = len(rec.points3d)
                         break
@@ -289,7 +303,8 @@ class IncrementalMapperController:
                 if not reg_next_success and prev_reg_next_success:
                     reg_next_success = True
                     prev_reg_next_success = False
-                    self.iterative_global_refinement(mapper)
+                    with self.profiler.phase("global_refine"):
+                        self.iterative_global_refinement(mapper)
                 else:
                     prev_reg_next_success = reg_next_success
 
@@ -297,7 +312,8 @@ class IncrementalMapperController:
             if (rec.num_registered() >= 2
                     and rec.num_registered() != ba_prev_num_reg
                     and len(rec.points3d) != ba_prev_num_points):
-                self.iterative_global_refinement(mapper)
+                with self.profiler.phase("global_refine"):
+                    self.iterative_global_refinement(mapper)
 
             min_model_size = min(len(self.database_cache.images),
                                  self.options.min_model_size)

@@ -74,6 +74,8 @@ class IncrementalMapper:
         self.num_reg_images_per_camera: Dict[int, int] = {}
         self._rng = np.random.default_rng(0)
         self._jit_pose = {}
+        self._jit_init = {}
+        self._jit_ba = {}
 
     # -- lifecycle -------------------------------------------------------
 
@@ -180,12 +182,6 @@ class IncrementalMapper:
                 aligned_cache.cameras[aligned_cache.images[k].camera_id]
                 .image_to_world_threshold(options.init_max_error)
                 for k in key)
-            opts = init_mod.InitOptions(
-                min_tri_angle_deg=options.init_min_tri_angle,
-                min_num_inliers=options.init_min_num_inliers,
-                max_error=max_error,
-                num_samples_fourview=options.init_num_samples,
-                num_samples_offset=options.init_num_samples)
             # Pad track counts to buckets to bound recompiles.
             na = _bucket(len(atr))
             nu = _bucket(len(utr))
@@ -200,10 +196,12 @@ class IncrementalMapper:
             uv = np.zeros(nu, bool)
             uv[:len(utr)] = True
 
-            res = init_mod.initialize_reconstruction(
-                jax.random.PRNGKey(options.seed), jnp.asarray(al_pad),
-                jnp.asarray(av), jnp.asarray(un_pad), jnp.asarray(uv),
-                jnp.asarray(gravity), opts)
+            run = self._init_kernel(na, nu, options.init_num_samples)
+            res = run(jax.random.PRNGKey(options.seed), jnp.asarray(al_pad),
+                      jnp.asarray(av), jnp.asarray(un_pad), jnp.asarray(uv),
+                      jnp.asarray(gravity), max_error,
+                      options.init_min_tri_angle,
+                      options.init_min_num_inliers)
             if bool(res.success):
                 ratio = float(res.inlier_ratio)
                 if ratio > best_ratio:
@@ -354,6 +352,25 @@ class IncrementalMapper:
                 self.triangulator.modified_point3d_ids.add(pid)
         return True
 
+    def _init_kernel(self, na: int, nu: int, num_samples: int,
+                     chunk: int = 128):
+        """Cached jitted 4-view initializer per padding bucket — candidate
+        sets reuse one compilation instead of retracing per set."""
+        key = (na, nu, num_samples, chunk)
+        if key not in self._jit_init:
+            def run(k, al, av, un, uv, g, max_error, min_tri, min_inl):
+                opts = init_mod.InitOptions(
+                    min_tri_angle_deg=min_tri,
+                    min_num_inliers=min_inl,
+                    max_error=max_error,
+                    num_samples_fourview=num_samples,
+                    num_samples_offset=num_samples,
+                    chunk=chunk)
+                return init_mod.initialize_reconstruction(
+                    k, al, av, un, uv, g, opts)
+            self._jit_init[key] = jax.jit(run)
+        return self._jit_init[key]
+
     def _pose_kernel(self, n: int, num_hypotheses: int):
         key = (n, num_hypotheses)
         if key not in self._jit_pose:
@@ -459,14 +476,23 @@ class IncrementalMapper:
                 if pid in self.rec.points3d and (
                     self.rec.points3d[pid].error < 0
                     or len(self.rec.points3d[pid].track) <= 15)}
+            import time as _time
+            _t0 = _time.perf_counter()
             self._run_ba(config_images, const_pose, const_tvec_x,
                          variable_points, ba_options)
+            _t1 = _time.perf_counter()
             report["merged"] = self.triangulator.merge_tracks(
                 tri_options, variable_points)
+            _t2 = _time.perf_counter()
             report["completed"] = self.triangulator.complete_tracks(
                 tri_options, variable_points)
             report["completed"] += self.triangulator.complete_image(
                 tri_options, image_id)
+            _t3 = _time.perf_counter()
+            self._phase_times = getattr(self, "_phase_times", {})
+            for k, v in (("ba", _t1 - _t0), ("merge", _t2 - _t1),
+                         ("complete", _t3 - _t2)):
+                self._phase_times[k] = self._phase_times.get(k, 0.0) + v
 
         # Filter modified images + changed points.
         filter_pids = set()
@@ -476,9 +502,14 @@ class IncrementalMapper:
                 continue
             filter_pids.update(int(p) for p in img.point3d_ids if p >= 0)
         filter_pids.update(p for p in point3d_ids if p in self.rec.points3d)
+        import time as _time
+        _t0 = _time.perf_counter()
         report["filtered"] = self.rec.filter_points3d(
             options.filter_max_reproj_error, options.filter_min_tri_angle,
             filter_pids)
+        self._phase_times = getattr(self, "_phase_times", {})
+        self._phase_times["filter"] = (self._phase_times.get("filter", 0.0)
+                                       + _time.perf_counter() - _t0)
         return report
 
     def adjust_global_bundle(self, options: MapperOptions,
@@ -533,28 +564,37 @@ class IncrementalMapper:
 
         cam_list = list(config_images) + extra_images
         cam_index = {iid: i for i, iid in enumerate(cam_list)}
-        C = len(cam_list)
-        P = len(point_ids)
+        # Bucket every axis (cameras, points, observations) so repeated
+        # local/global BAs reuse a handful of compiled LM kernels.
+        C = _bucket(len(cam_list), 4)
+        P = _bucket(len(point_ids), 32)
         O = _bucket(len(obs))
 
         camera0 = rec.cameras[rec.images[cam_list[0]].camera_id]
         n_params = len(camera0.params)
         qvecs = np.zeros((C, 4))
+        qvecs[:, 0] = 1.0
         tvecs = np.zeros((C, 3))
-        cam_params = np.zeros((C, n_params))
-        dof_mask = np.ones((C, 6))
+        cam_params = np.tile(camera0.params, (C, 1))
+        dof_mask = np.zeros((C, 6))  # padded cameras fully frozen
         for i, iid in enumerate(cam_list):
             img = rec.images[iid]
             qvecs[i] = img.qvec
             tvecs[i] = img.tvec
             cam_params[i] = rec.cameras[img.camera_id].params
             if iid in const_pose or iid in extra_images:
-                dof_mask[i] = 0.0
+                pass  # stays frozen
             elif iid in const_tvec_x:
+                dof_mask[i] = 1.0
                 dof_mask[i, 3] = 0.0
+            else:
+                dof_mask[i] = 1.0
 
-        points3d = np.stack([rec.points3d[pid].xyz for pid in point_ids])
-        point_mask = np.ones(P)
+        points3d = np.zeros((P, 3))
+        points3d[:len(point_ids)] = np.stack(
+            [rec.points3d[pid].xyz for pid in point_ids])
+        point_mask = np.zeros(P)  # padded points frozen
+        point_mask[:len(point_ids)] = 1.0
         if variable_points is not None:
             for pid, slot in point_index.items():
                 if pid not in variable_points:
@@ -580,8 +620,12 @@ class IncrementalMapper:
             obs_weight=jnp.asarray(obs_weight),
             cam_dof_mask=jnp.asarray(dof_mask),
             point_mask=jnp.asarray(point_mask))
-        q, t, X, summary = ba_mod.bundle_adjust(problem, camera0.model,
-                                                ba_options)
+        ba_key = (C, P, O, camera0.model, ba_options)
+        if ba_key not in self._jit_ba:
+            model = camera0.model
+            self._jit_ba[ba_key] = jax.jit(
+                lambda prob: ba_mod.bundle_adjust(prob, model, ba_options))
+        q, t, X, summary = self._jit_ba[ba_key](problem)
         q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
         if not (np.isfinite(q).all() and np.isfinite(t).all()
                 and np.isfinite(X).all()):

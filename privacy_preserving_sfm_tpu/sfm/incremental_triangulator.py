@@ -40,6 +40,13 @@ from privacy_preserving_sfm_tpu.solvers import triangulation as tri_est
 MAX_POOL = 24  # fixed padding for the jitted estimator
 
 
+def _bucket_t(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 @dataclasses.dataclass
 class TriangulatorOptions:
     max_transitivity: int = 1
@@ -206,27 +213,146 @@ class IncrementalTriangulator:
             return 1
         return 0
 
+    # -- batched create (one vmapped device call per image) -------------
+
+    def _batched_estimator(self, camera_model: str, t_bucket: int):
+        key = ("batch", camera_model, t_bucket)
+        if key not in self._jit_cache:
+            def run(lines, proj, centers, params, valid, width, height,
+                    max_err, min_ang):
+                f = jax.vmap(
+                    lambda l, p, c, pa, v: tri_est.estimate_triangulation(
+                        l, p, c, pa, v, camera_model, width, height,
+                        max_err, min_ang))
+                return f(lines, proj, centers, params, valid)
+            self._jit_cache[key] = jax.jit(run, static_argnums=(5, 6))
+        return self._jit_cache[key]
+
+    def _batched_create(self, options: TriangulatorOptions, pools) -> int:
+        """Triangulate many Create pools with one vmapped call per round.
+
+        Departure from the reference's strictly sequential per-feature
+        loop: all pools of an image are solved against the SAME snapshot of
+        the reconstruction, and results are applied in order, dropping
+        observations claimed by an earlier track in the batch.  Occasional
+        duplicate points are cleaned by the (reference-exact) Merge step.
+        Leftover pools (>= 3 unclaimed observations) re-run in following
+        rounds, mirroring the recursive re-create.
+        """
+        num_tris = 0
+        rounds = 0
+        while pools and rounds < 4:
+            rounds += 1
+            T = len(pools)
+            Tb = _bucket_t(T)
+            lines = np.zeros((Tb, MAX_POOL, 3))
+            lines[..., 0] = 1.0
+            projs = np.tile(np.eye(3, 4), (Tb, MAX_POOL, 1, 1))
+            centers = np.zeros((Tb, MAX_POOL, 3))
+            valid = np.zeros((Tb, MAX_POOL), bool)
+            cam0 = self.rec.cameras[
+                self.rec.images[pools[0][0][0]].camera_id]
+            params = np.tile(cam0.params, (Tb, MAX_POOL, 1))
+            proj_cache = {}
+            for t, pool in enumerate(pools):
+                for i, (iid, li) in enumerate(pool[:MAX_POOL]):
+                    img = self.rec.images[iid]
+                    if iid not in proj_cache:
+                        proj_cache[iid] = (img.projection_matrix(),
+                                           img.projection_center())
+                    pm, pc = proj_cache[iid]
+                    lines[t, i] = img.lines[li]
+                    projs[t, i] = pm
+                    centers[t, i] = pc
+                    params[t, i] = self.rec.cameras[img.camera_id].params
+                    valid[t, i] = True
+            run = self._batched_estimator(cam0.model, Tb)
+            res = run(jnp.asarray(lines), jnp.asarray(projs),
+                      jnp.asarray(centers), jnp.asarray(params),
+                      jnp.asarray(valid), cam0.width, cam0.height,
+                      np.deg2rad(options.create_max_angle_error),
+                      np.deg2rad(options.min_angle))
+            success = np.asarray(res.success)
+            inl = np.asarray(res.inlier_mask)
+            xyz = np.asarray(res.point3d)
+
+            next_pools = []
+            for t, pool in enumerate(pools):
+                if not success[t]:
+                    continue
+                track = [pool[i] for i in range(min(len(pool), MAX_POOL))
+                         if inl[t, i] and
+                         self.rec.images[pool[i][0]].point3d_ids[pool[i][1]] < 0]
+                if len(track) < 2:
+                    continue
+                pid = self.rec.add_point3d(xyz[t], track)
+                self.modified_point3d_ids.add(pid)
+                num_tris += len(track)
+                leftovers = [
+                    (iid, li) for iid, li in pool
+                    if self.rec.images[iid].point3d_ids[li] < 0]
+                if len(leftovers) >= 3 and any(
+                        not self.rec.images[iid].aligned[li]
+                        for iid, li in leftovers):
+                    next_pools.append(leftovers)
+            pools = next_pools
+        return num_tris
+
     # -- public API ------------------------------------------------------
 
     def triangulate_image(self, options: TriangulatorOptions,
-                          image_id: int) -> int:
-        """``TriangulateImage`` (``incremental_triangulator.cc:63-121``)."""
+                          image_id: int, batched: bool = True) -> int:
+        """``TriangulateImage`` (``incremental_triangulator.cc:63-121``).
+
+        ``batched=True`` (default) fuses all Create solves of the image
+        into vmapped device calls (see ``_batched_create``); ``False``
+        reproduces the reference's sequential per-feature behavior.
+        """
         num_tris = 0
         self._merge_trials.clear()
         img = self.rec.images[image_id]
         if not img.registered:
             return 0
+        if not batched:
+            for line_idx in range(img.num_lines):
+                pool, num_triangulated = self._find(options, image_id,
+                                                    line_idx)
+                if not pool:
+                    continue
+                if num_triangulated == 0:
+                    num_tris += self._create(options,
+                                             pool + [(image_id, line_idx)])
+                else:
+                    num_tris += self._continue(options, image_id, line_idx,
+                                               pool)
+                    num_tris += self._create(options,
+                                             pool + [(image_id, line_idx)])
+            return num_tris
+
+        # Pass 1: Find everything; Continue (cheap, state-dependent) first.
+        found = []
         for line_idx in range(img.num_lines):
             pool, num_triangulated = self._find(options, image_id, line_idx)
             if not pool:
                 continue
-            if num_triangulated == 0:
-                num_tris += self._create(options,
-                                         pool + [(image_id, line_idx)])
-            else:
+            if num_triangulated > 0:
                 num_tris += self._continue(options, image_id, line_idx, pool)
-                num_tris += self._create(options,
-                                         pool + [(image_id, line_idx)])
+            found.append((line_idx, pool))
+
+        # Pass 2: assemble Create pools against the post-Continue state.
+        pools = []
+        for line_idx, pool in found:
+            full = pool + [(image_id, line_idx)]
+            create_pool = [
+                (iid, li) for iid, li in full
+                if self.rec.images[iid].point3d_ids[li] < 0]
+            if len(create_pool) < 3:
+                continue
+            if not any(not self.rec.images[iid].aligned[li]
+                       for iid, li in create_pool):
+                continue
+            pools.append(create_pool)
+        num_tris += self._batched_create(options, pools)
         return num_tris
 
     def complete_image(self, options: TriangulatorOptions,
