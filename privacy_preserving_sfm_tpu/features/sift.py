@@ -91,26 +91,6 @@ def _downsample2(img: jax.Array) -> jax.Array:
     return img[::2, ::2]
 
 
-def _bilinear(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
-    """Bilinear lookup with clamped coordinates; img (H, W), y/x (...)."""
-    h, w = img.shape
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    flat = img.reshape(-1)
-
-    def at(yy, xx):
-        return jnp.take(flat, yy * w + xx)
-
-    return ((1 - fy) * (1 - fx) * at(y0, x0)
-            + (1 - fy) * fx * at(y0, x0 + 1)
-            + fy * (1 - fx) * at(y0 + 1, x0)
-            + fy * fx * at(y0 + 1, x0 + 1))
-
-
 def _octave_features(octave_img: jax.Array, octave_idx: int,
                      opts: SiftOptions, dtype):
     """Detect/refine/describe keypoints in one octave.

@@ -132,15 +132,6 @@ def bundle_adjust_sharded(problem: ba_mod.BAProblem, mesh: Mesh,
     spec_rep = P()
     spec_shard = P(axis)
 
-    def local_problem(points, obs_cam, obs_point, obs_line, obs_weight,
-                      point_mask):
-        return ba_mod.BAProblem(
-            qvecs=problem.qvecs, tvecs=problem.tvecs,
-            cam_params=problem.cam_params, points3d=points,
-            obs_cam=obs_cam, obs_point=obs_point, obs_line=obs_line,
-            obs_weight=obs_weight, cam_dof_mask=problem.cam_dof_mask,
-            point_mask=point_mask)
-
     def kernel(qvecs, tvecs, cam_params, dof_mask, points, point_mask,
                obs_cam, obs_point, obs_line, obs_weight):
         Pl = points.shape[0]

@@ -94,3 +94,26 @@ class TestCLI:
                     "--quality", "medium", "--database_path", db_path])
         opts = AllOptions.load(ini)
         assert opts.extraction.max_image_size == 1600
+
+
+class TestGps:
+    def test_ecef_roundtrip(self):
+        from privacy_preserving_sfm_tpu.utils import gps
+        lat = np.array([47.37, -33.86])
+        lon = np.array([8.54, 151.21])
+        alt = np.array([408.0, 58.0])
+        back = gps.xyz_to_ell(gps.ell_to_xyz(lat, lon, alt))
+        np.testing.assert_allclose(back[:, 0], lat, atol=1e-9)
+        np.testing.assert_allclose(back[:, 1], lon, atol=1e-9)
+        np.testing.assert_allclose(back[:, 2], alt, atol=1e-6)
+
+    def test_enu_locality(self):
+        from privacy_preserving_sfm_tpu.utils import gps
+        # ~111m per 0.001 deg of latitude.
+        lat = np.array([47.0, 47.001])
+        lon = np.array([8.0, 8.0])
+        alt = np.array([0.0, 0.0])
+        enu = gps.ell_to_enu(lat, lon, alt)
+        np.testing.assert_allclose(enu[0], 0.0, atol=1e-9)
+        assert 100.0 < enu[1, 1] < 120.0  # north displacement
+        assert abs(enu[1, 0]) < 1.0
