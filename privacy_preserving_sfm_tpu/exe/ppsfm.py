@@ -128,6 +128,84 @@ def cmd_sequential_matcher(args):
     _run_matcher(args, "sequential")
 
 
+def cmd_spatial_matcher(args):
+    """Spatial matcher over prior positions (matching.h:331-360).
+
+    Positions come from the image prior translations in the database (e.g.
+    EXIF GPS converted to ENU at import time).
+    """
+    from privacy_preserving_sfm_tpu.features import schedulers
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.utils.timer import Timer, print_heading1
+
+    print_heading1("Spatial feature matching")
+    timer = Timer()
+    with Database(args.database_path) as db:
+        rows = db.conn.execute(
+            "SELECT image_id, prior_tx, prior_ty, prior_tz FROM images;"
+        ).fetchall()
+        positions = {r[0]: np.asarray(r[1:4], float) for r in rows
+                     if r[1] is not None}
+        ids = sorted(db.read_images().keys())
+        pairs = schedulers.spatial_pairs(
+            ids, positions, args.max_num_neighbors, args.max_distance)
+        n = schedulers.match_pair_list(
+            db, ids, pairs, min_num_matches=args.min_num_matches,
+            verbose=True)
+        print(f"  => {n}/{len(pairs)} pairs above threshold")
+    timer.print_minutes()
+
+
+def cmd_transitive_matcher(args):
+    """Transitive closure matcher (matching.h:362-381)."""
+    from privacy_preserving_sfm_tpu.features import schedulers
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.utils.timer import Timer, print_heading1
+
+    print_heading1("Transitive feature matching")
+    timer = Timer()
+    with Database(args.database_path) as db:
+        ids = sorted(db.read_images().keys())
+        pairs = schedulers.transitive_pairs(
+            db, args.num_iterations, args.min_num_matches)
+        n = schedulers.match_pair_list(
+            db, ids, pairs, min_num_matches=args.min_num_matches,
+            verbose=True)
+        print(f"  => {n}/{len(pairs)} closure pairs above threshold")
+    timer.print_minutes()
+
+
+def cmd_matches_importer(args):
+    """Match an explicit image-pair list file (ImagePairsFeatureMatcher).
+
+    The list file has one "name1 name2" pair per line.
+    """
+    from privacy_preserving_sfm_tpu.features import schedulers
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.utils.timer import Timer, print_heading1
+
+    print_heading1("Importing image pair matches")
+    timer = Timer()
+    with Database(args.database_path) as db:
+        images = db.read_images()
+        by_name = {v["name"]: k for k, v in images.items()}
+        pairs = []
+        with open(args.match_list_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 2:
+                    continue
+                if parts[0] in by_name and parts[1] in by_name:
+                    a, b = by_name[parts[0]], by_name[parts[1]]
+                    pairs.append((min(a, b), max(a, b)))
+        ids = sorted(images.keys())
+        n = schedulers.match_pair_list(
+            db, ids, pairs, min_num_matches=args.min_num_matches,
+            verbose=True)
+        print(f"  => {n}/{len(pairs)} pairs above threshold")
+    timer.print_minutes()
+
+
 def cmd_mapper(args):
     from privacy_preserving_sfm_tpu.sfm.controller import (
         ControllerOptions, IncrementalMapperController,
@@ -284,6 +362,25 @@ def main(argv=None):
         p.set_defaults(func=cmd_exhaustive_matcher
                        if name == "exhaustive_matcher"
                        else cmd_sequential_matcher)
+
+    p = sub.add_parser("spatial_matcher")
+    _add_db_arg(p)
+    p.add_argument("--min_num_matches", type=int, default=15)
+    p.add_argument("--max_num_neighbors", type=int, default=50)
+    p.add_argument("--max_distance", type=float, default=100.0)
+    p.set_defaults(func=cmd_spatial_matcher)
+
+    p = sub.add_parser("transitive_matcher")
+    _add_db_arg(p)
+    p.add_argument("--min_num_matches", type=int, default=15)
+    p.add_argument("--num_iterations", type=int, default=3)
+    p.set_defaults(func=cmd_transitive_matcher)
+
+    p = sub.add_parser("matches_importer")
+    _add_db_arg(p)
+    p.add_argument("--match_list_path", required=True)
+    p.add_argument("--min_num_matches", type=int, default=15)
+    p.set_defaults(func=cmd_matches_importer)
 
     p = sub.add_parser("mapper")
     _add_db_arg(p)

@@ -117,3 +117,56 @@ class TestGps:
         np.testing.assert_allclose(enu[0], 0.0, atol=1e-9)
         assert 100.0 < enu[1, 1] < 120.0  # north displacement
         assert abs(enu[1, 0]) < 1.0
+
+
+class TestResume:
+    def test_mapper_resume_seeding(self, tmp_path):
+        """Resume path: poses/points from an input model seed the attempt."""
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_e2e_synthetic import build_synthetic_db
+        from privacy_preserving_sfm_tpu.sfm.controller import (
+            ControllerOptions, IncrementalMapperController,
+        )
+        from privacy_preserving_sfm_tpu.models.reconstruction import (
+            Reconstruction,
+        )
+
+        rng = np.random.default_rng(7)
+        path = str(tmp_path / "scene.db")
+        qs, ts, pts, image_ids = build_synthetic_db(path, rng, num_images=6)
+        ctrl = IncrementalMapperController(
+            ControllerOptions(verbose=False), database_path=path)
+        assert ctrl.load_database()
+
+        # Build a partial "previous" model: 4 registered images with GT
+        # poses + a few triangulated points, written/reread as text.
+        rec0 = ctrl.database_cache.to_reconstruction()
+        import jax.numpy as jnp
+        from privacy_preserving_sfm_tpu.ops import lie
+        for i in range(4):
+            iid = image_ids[i]
+            rec0.images[iid].qvec = qs[i]
+            rec0.images[iid].tvec = ts[i]
+            rec0.register_image(iid)
+        for j in range(10):
+            track = [(image_ids[i], j) for i in range(4)]
+            rec0.add_point3d(pts[j], track)
+        model_dir = str(tmp_path / "model")
+        rec0.write_text(model_dir)
+        loaded = Reconstruction.read_text(model_dir)
+
+        ctrl2 = IncrementalMapperController(
+            ControllerOptions(verbose=False), database_path=path,
+            input_reconstruction=loaded)
+        assert ctrl2.load_database()
+        rec = ctrl2.database_cache.to_reconstruction()
+        for img in rec.images.values():
+            img.registered = False
+            img.point3d_ids = np.full(img.num_lines, -1, np.int64)
+        rec.reg_image_ids = []
+        ctrl2._seed_from_input(rec, loaded)
+        assert rec.num_registered() == 4
+        assert len(rec.points3d) == 10
+        np.testing.assert_allclose(rec.images[image_ids[1]].tvec, ts[1],
+                                   atol=1e-12)
