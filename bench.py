@@ -19,8 +19,11 @@ import time
 import numpy as np
 
 # Round-1 reference throughput (obs-iterations/s) for vs_baseline.
-# Measured on TPU v5e-1 at round 1; earlier rounds' driver logs hold history.
-BASELINE_OBS_ITERS_PER_S = 50.0e6
+# Measured on TPU v5e-1 at round 1 (2026-08-17): the first TPU run of this
+# kernel defines 1.0; later rounds report their speedup against it.
+# (Known round-2 lever: the segment_sum scatters dominate — dense
+# per-point observation blocks should lift this substantially.)
+BASELINE_OBS_ITERS_PER_S = 1.08e6
 
 NUM_CAMS = 100
 NUM_POINTS = 20_000
