@@ -1,0 +1,252 @@
+"""Dense-block bundle adjustment: observations laid out per point.
+
+The flat-SoA solver (``optim/ba.py``) reduces point blocks with
+``segment_sum`` scatters into P bins — the dominant cost on TPU (scatters
+are latency-bound).  Here observations are laid out **densely per point**:
+
+  cam_idx (P, K), lines (P, K, 3), weight (P, K)   with K = max track len
+
+so every point-side reduction (Hpp, E^T v, back-substitution) becomes an
+einsum over the K axis — pure MXU/VPU work, no scatter.  The only
+remaining scatters reduce into the C camera bins (C is small).  This is
+the CSR-of-blocks design of SURVEY.md §7.6.
+
+Semantically identical to ``ba.bundle_adjust`` (same damping, CG,
+accept/reject); tested for agreement.  ``from_flat_problem`` converts a
+``ba.BAProblem``; tracks longer than K keep their K strongest... no —
+tracks are padded to K and K must cover the longest track (the caller
+buckets K).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from privacy_preserving_sfm_tpu.ops import lie, linalg, lines as line_ops
+from privacy_preserving_sfm_tpu.optim import ba as ba_mod
+
+
+class DenseBAProblem(NamedTuple):
+    qvecs: jax.Array  # (C, 4)
+    tvecs: jax.Array  # (C, 3)
+    cam_params: jax.Array  # (C, Pr)
+    points3d: jax.Array  # (P, 3)
+    obs_cam: jax.Array  # (P, K) int32
+    obs_line: jax.Array  # (P, K, 3)
+    obs_weight: jax.Array  # (P, K) float, 0 = padding
+    cam_dof_mask: jax.Array  # (C, 6)
+    point_mask: jax.Array  # (P,)
+
+
+def from_flat_problem(problem: ba_mod.BAProblem,
+                      k_bucket: int = 8) -> DenseBAProblem:
+    """Convert a flat BAProblem to dense per-point blocks (host-side)."""
+    obs_point = np.asarray(problem.obs_point)
+    obs_cam = np.asarray(problem.obs_cam)
+    obs_line = np.asarray(problem.obs_line)
+    obs_weight = np.asarray(problem.obs_weight)
+    P = problem.points3d.shape[0]
+
+    counts = np.zeros(P, np.int64)
+    valid = obs_weight > 0
+    for p in obs_point[valid]:
+        counts[p] += 1
+    K = int(max(1, counts.max()))
+    K = max(K, k_bucket)
+    while k_bucket < K:
+        k_bucket *= 2
+    K = k_bucket
+
+    cam_idx = np.zeros((P, K), np.int32)
+    lines = np.zeros((P, K, 3))
+    lines[..., 0] = 1.0
+    weight = np.zeros((P, K))
+    fill = np.zeros(P, np.int64)
+    for o in np.nonzero(valid)[0]:
+        p = obs_point[o]
+        k = fill[p]
+        cam_idx[p, k] = obs_cam[o]
+        lines[p, k] = obs_line[o]
+        weight[p, k] = obs_weight[o]
+        fill[p] += 1
+
+    return DenseBAProblem(
+        qvecs=problem.qvecs, tvecs=problem.tvecs,
+        cam_params=problem.cam_params, points3d=problem.points3d,
+        obs_cam=jnp.asarray(cam_idx),
+        obs_line=jnp.asarray(lines, problem.obs_line.dtype),
+        obs_weight=jnp.asarray(weight, problem.obs_weight.dtype),
+        cam_dof_mask=problem.cam_dof_mask, point_mask=problem.point_mask)
+
+
+def _residuals_and_jacobians(problem: DenseBAProblem, qvecs, tvecs, points,
+                             camera_model: str):
+    """(P, K, 2) residuals; J_cam (P, K, 2, 6); J_pt (P, K, 2, 3)."""
+    oc = problem.obs_cam  # (P, K)
+    q_o = qvecs[oc]
+    t_o = tvecs[oc]
+    par_o = problem.cam_params[oc]
+    lines_o = problem.obs_line
+    X = points  # (P, 3)
+
+    def res_fn(dc, dX, q, t, Xp, par, line):
+        qq = lie.quat_multiply(q, ba_mod._quat_delta(dc[:3]))
+        tt = t + dc[3:]
+        return line_ops.line_ba_residual(line, Xp + dX, qq, tt, camera_model,
+                                         par)
+
+    def one(dc, dX, q, t, Xp, par, line):
+        r = res_fn(dc, dX, q, t, Xp, par, line)
+        Jc = jax.jacfwd(res_fn, argnums=0)(dc, dX, q, t, Xp, par, line)
+        Jp = jax.jacfwd(res_fn, argnums=1)(dc, dX, q, t, Xp, par, line)
+        return r, Jc, Jp
+
+    P_, K = oc.shape
+    zero6 = jnp.zeros((P_, K, 6), qvecs.dtype)
+    zero3 = jnp.zeros((P_, K, 3), qvecs.dtype)
+    Xb = jnp.broadcast_to(X[:, None, :], (P_, K, 3))
+    r, Jc, Jp = jax.vmap(jax.vmap(one))(zero6, zero3, q_o, t_o, Xb, par_o,
+                                        lines_o)
+    Jc = Jc * problem.cam_dof_mask[oc][:, :, None, :]
+    Jp = Jp * problem.point_mask[:, None, None, None]
+    return r, Jc, Jp
+
+
+def _cost(problem: DenseBAProblem, qvecs, tvecs, points, camera_model,
+          loss, loss_scale):
+    oc = problem.obs_cam
+    P_, K = oc.shape
+    Xb = jnp.broadcast_to(points[:, None, :], (P_, K, 3))
+    r = line_ops.line_ba_residual(
+        problem.obs_line, Xb, qvecs[oc], tvecs[oc], camera_model,
+        problem.cam_params[oc])
+    sq = jnp.sum(r * r, axis=-1)
+    return 0.5 * jnp.sum(ba_mod._robust_cost(sq, loss, loss_scale)
+                         * problem.obs_weight)
+
+
+def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
+                        options: ba_mod.BAOptions = ba_mod.BAOptions()):
+    """LM with per-point dense blocks; semantics of ``ba.bundle_adjust``."""
+    C = problem.qvecs.shape[0]
+    P_, K = problem.obs_cam.shape
+    dtype = problem.points3d.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    oc_flat = problem.obs_cam.reshape(-1)  # (P*K,)
+    # Camera-bin reductions as one-hot matmuls: scatters are latency-bound
+    # on TPU, while a (C, P*K) @ (P*K, n) contraction rides the MXU.
+    onehot = jax.nn.one_hot(oc_flat, C, dtype=dtype)  # (P*K, C)
+
+    def cam_reduce(blocks_flat):
+        """(P*K, ...) -> (C, ...) via MXU contraction."""
+        flat2 = blocks_flat.reshape(blocks_flat.shape[0], -1)
+        out = jax.lax.dot_general(
+            onehot, flat2, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype)
+        return out.reshape((C,) + blocks_flat.shape[1:])
+
+    def build_normal(qvecs, tvecs, points):
+        r, Jc, Jp = _residuals_and_jacobians(problem, qvecs, tvecs, points,
+                                             camera_model)
+        sq = jnp.sum(r * r, axis=-1)
+        w = (ba_mod._robust_weight(sq, options.loss, options.loss_scale)
+             * problem.obs_weight)  # (P, K)
+        Hcc_o = jnp.einsum("pkri,pkrj,pk->pkij", Jc, Jc, w)
+        Hpp = jnp.einsum("pkri,pkrj,pk->pij", Jp, Jp, w)  # no scatter!
+        Hcp_o = jnp.einsum("pkri,pkrj,pk->pkij", Jc, Jp, w)  # (P, K, 6, 3)
+        gc_o = jnp.einsum("pkri,pkr,pk->pki", Jc, r, w)
+        gp = jnp.einsum("pkri,pkr,pk->pi", Jp, r, w)  # no scatter!
+        Hcc = cam_reduce(Hcc_o.reshape(-1, 6, 6))
+        gc = cam_reduce(gc_o.reshape(-1, 6))
+        return Hcc, Hpp, Hcp_o, gc, gp
+
+    def solve_step(Hcc, Hpp, Hcp_o, gc, gp, lam):
+        dHcc = Hcc + lam * ba_mod._diag_embed6(
+            jnp.diagonal(Hcc, axis1=-2, axis2=-1)) + 1e-12 * eye6
+        dHpp = Hpp + lam * ba_mod._diag_embed3(
+            jnp.diagonal(Hpp, axis1=-2, axis2=-1)) + 1e-12 * eye3
+        Hpp_inv = linalg.inv3(dHpp)  # (P, 3, 3)
+
+        def S_matvec(v):  # v (C, 6)
+            Bv = jnp.einsum("cij,cj->ci", dHcc, v)
+            v_o = v[problem.obs_cam]  # (P, K, 6)
+            Etv = jnp.einsum("pkji,pkj->pi", Hcp_o, v_o)  # dense reduce
+            y = jnp.einsum("pij,pj->pi", Hpp_inv, Etv)
+            Ey_o = jnp.einsum("pkij,pj->pki", Hcp_o, y)
+            return Bv - cam_reduce(Ey_o.reshape(-1, 6))
+
+        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+        rhs = gc - cam_reduce(
+            jnp.einsum("pkij,pj->pki", Hcp_o, y0).reshape(-1, 6))
+
+        SJ_o = jnp.einsum("pkij,pjl,pkml->pkim", Hcp_o, Hpp_inv, Hcp_o)
+        SJ = dHcc - cam_reduce(SJ_o.reshape(-1, 6, 6))
+        SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
+
+        def precond(v):
+            return jnp.einsum("cij,cj->ci", SJ_inv, v)
+
+        def cg_body(i, state):
+            x, rr, p, rz = state
+            Ap = S_matvec(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+            return x, rr, z + beta * p, rz_new
+
+        x0 = jnp.zeros((C, 6), dtype)
+        z0 = precond(rhs)
+        dc, _, _, _ = jax.lax.fori_loop(
+            0, options.cg_iterations, cg_body, (x0, rhs, z0,
+                                               jnp.sum(rhs * z0)))
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        Etdc = jnp.einsum("pkji,pkj->pi", Hcp_o, dc[problem.obs_cam])
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, gp - Etdc)
+        dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
+        return dc, dp
+
+    cost0 = _cost(problem, problem.qvecs, problem.tvecs, problem.points3d,
+                  camera_model, options.loss, options.loss_scale)
+
+    def lm_body(state):
+        q, t, X, lam, c, it, stall = state
+        Hcc, Hpp, Hcp_o, gc, gp = build_normal(q, t, X)
+        dc, dp = solve_step(Hcc, Hpp, Hcp_o, gc, gp, lam)
+        dc_m = dc * problem.cam_dof_mask
+        dp_m = dp * problem.point_mask[:, None]
+        q_new, t_new, X_new = ba_mod._apply_step(q, t, X, -dc_m, -dp_m)
+        c_new = _cost(problem, q_new, t_new, X_new, camera_model,
+                      options.loss, options.loss_scale)
+        accept = c_new < c
+        rel = (c - c_new) / jnp.maximum(c, 1e-30)
+        q = jnp.where(accept, q_new, q)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        c = jnp.where(accept, c_new, c)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, options.min_lambda),
+                        jnp.minimum(lam * 4.0, options.max_lambda))
+        conv = accept & (rel < options.function_tolerance)
+        stall = jnp.where(conv, stall + 1, jnp.where(accept, 0, stall))
+        return q, t, X, lam, c, it + 1, stall
+
+    def lm_cond(state):
+        *_, lam, c, it, stall = state
+        return (it < options.max_iterations) & (stall < 2) & (
+            lam < options.max_lambda * 0.99)
+
+    init = (problem.qvecs, problem.tvecs, problem.points3d,
+            jnp.asarray(options.initial_lambda, dtype), cost0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    q, t, X, lam, c, it, _ = jax.lax.while_loop(lm_cond, lm_body, init)
+    summary = ba_mod.BASummary(initial_cost=cost0, final_cost=c,
+                               num_iterations=it, lam=lam)
+    return q, t, X, summary

@@ -151,3 +151,32 @@ class TestBundleAdjust:
         f = jax.jit(lambda p: ba.bundle_adjust(p, "SIMPLE_PINHOLE"))
         q, t, X, summary = f(problem)
         assert float(summary.final_cost) < 1e-12
+
+
+class TestDenseBA:
+    def test_matches_flat_solver(self):
+        from privacy_preserving_sfm_tpu.optim import ba_dense
+
+        rng = np.random.default_rng(10)
+        problem, qs, ts, pts = make_ba_problem(rng)
+        q1, t1, X1, s1 = ba.bundle_adjust(problem, "SIMPLE_PINHOLE")
+        dense = ba_dense.from_flat_problem(problem)
+        q2, t2, X2, s2 = ba_dense.bundle_adjust_dense(dense, "SIMPLE_PINHOLE")
+        assert float(s2.final_cost) < 1e-14
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(X2), np.asarray(X1), atol=1e-6)
+
+    def test_dense_respects_masks(self):
+        from privacy_preserving_sfm_tpu.optim import ba_dense
+
+        rng = np.random.default_rng(11)
+        problem, qs, ts, pts = make_ba_problem(rng)
+        pm = np.ones(len(pts))
+        pm[:5] = 0.0
+        problem = problem._replace(point_mask=jnp.asarray(pm))
+        dense = ba_dense.from_flat_problem(problem)
+        q, t, X, _ = ba_dense.bundle_adjust_dense(dense, "SIMPLE_PINHOLE")
+        np.testing.assert_allclose(np.asarray(X[:5]), problem.points3d[:5],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(q[0]), problem.qvecs[0],
+                                   atol=1e-12)
