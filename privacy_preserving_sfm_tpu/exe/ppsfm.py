@@ -336,6 +336,10 @@ def cmd_automatic_reconstructor(args):
 
 
 def main(argv=None):
+    from privacy_preserving_sfm_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+    )
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(
         prog="ppsfm", description="TPU-native privacy-preserving SfM")
     sub = parser.add_subparsers(dest="command", required=True)

@@ -37,6 +37,22 @@ class DatabaseCache:
         self.cameras: Dict[int, Camera] = {}
         self.images: Dict[int, Image] = {}
         self.graph = _make_graph()
+        self._match_chunks = []  # (image_id1, image_id2, (N,2) matches)
+        self._view = None
+
+    @property
+    def view(self):
+        """Lazily-built flat CSR view of the graph (models/graph_view.py)."""
+        if self._view is None and self.images:
+            from privacy_preserving_sfm_tpu.models.graph_view import GraphView
+            num_lines = {iid: img.num_lines
+                         for iid, img in self.images.items()}
+            if self._match_chunks:
+                self._view = GraphView.from_match_chunks(
+                    self._match_chunks, num_lines)
+            else:
+                self._view = GraphView.from_graph(self.graph, num_lines)
+        return self._view
 
     @classmethod
     def load(cls, db: Database, min_num_matches: int = 15,
@@ -97,6 +113,7 @@ class DatabaseCache:
                 if len(m) == 0:
                     continue
             cache.graph.add_matches(i1, i2, m)
+            cache._match_chunks.append((i1, i2, m))
         cache.graph.finalize()
         return cache
 

@@ -61,6 +61,12 @@ class Image:
             self.point3d_ids = np.full(self.lines.shape[0], _INVALID,
                                        np.int64)
 
+    def __setattr__(self, name, value):
+        # Invalidate the cached pose-derived matrices on pose assignment.
+        if name in ("qvec", "tvec"):
+            object.__setattr__(self, "_pose_cache", None)
+        object.__setattr__(self, name, value)
+
     @property
     def num_lines(self) -> int:
         return self.lines.shape[0]
@@ -70,19 +76,27 @@ class Image:
 
     def rotation_matrix(self) -> np.ndarray:
         """Pure-numpy quat -> R (hot path for host orchestration loops)."""
+        cache = getattr(self, "_pose_cache", None)
+        if cache is not None:
+            return cache[0]
         q = self.qvec / np.linalg.norm(self.qvec)
         w, x, y, z = q
-        return np.array([
+        R = np.array([
             [w*w + x*x - y*y - z*z, 2*(x*y - w*z), 2*(x*z + w*y)],
             [2*(x*y + w*z), w*w - x*x + y*y - z*z, 2*(y*z - w*x)],
             [2*(x*z - w*y), 2*(y*z + w*x), w*w - x*x - y*y + z*z]])
+        proj = np.concatenate([R, self.tvec[:, None]], axis=1)
+        center = -R.T @ self.tvec
+        object.__setattr__(self, "_pose_cache", (R, proj, center))
+        return R
 
     def projection_matrix(self) -> np.ndarray:
-        return np.concatenate([self.rotation_matrix(),
-                               self.tvec[:, None]], axis=1)
+        self.rotation_matrix()
+        return self._pose_cache[1]
 
     def projection_center(self) -> np.ndarray:
-        return -self.rotation_matrix().T @ self.tvec
+        self.rotation_matrix()
+        return self._pose_cache[2]
 
 
 @dataclasses.dataclass
@@ -193,13 +207,43 @@ class Reconstruction:
 
     def _squared_line_reproj_error(self, image: Image, line_idx: int,
                                    xyz: np.ndarray) -> float:
-        from privacy_preserving_sfm_tpu.sfm import kernels as sfm_kernels
+        from privacy_preserving_sfm_tpu.ops import lines_np
 
         cam = self.cameras[image.camera_id]
-        k = sfm_kernels.squared_pixel_error_kernel(cam.model)
-        return float(k(image.lines[line_idx], np.asarray(xyz, float),
-                       image.projection_matrix(), cam.params,
-                       cam.width, cam.height))
+        return float(lines_np.squared_line_reprojection_error(
+            image.lines[line_idx], np.asarray(xyz, float),
+            image.projection_matrix(), cam.model, cam.params,
+            cam.width, cam.height))
+
+    def batch_squared_line_errors(self, obs_img: np.ndarray,
+                                  obs_li: np.ndarray,
+                                  xyz_per_obs: np.ndarray) -> np.ndarray:
+        """Vectorized squared pixel line errors for N (image, line) obs.
+
+        Host-only numpy (no device dispatch): groups observations by image
+        to amortize pose/param gathers, then evaluates the exact
+        ``projection.cc:162-203`` error per observation.
+        """
+        from privacy_preserving_sfm_tpu.ops import lines_np
+
+        obs_img = np.asarray(obs_img, np.int64)
+        obs_li = np.asarray(obs_li, np.int64)
+        n = len(obs_img)
+        if n == 0:
+            return np.zeros(0)
+        xyz = np.asarray(xyz_per_obs, float)
+        if xyz.ndim == 1:
+            xyz = np.broadcast_to(xyz, (n, 3))
+        errs = np.empty(n)
+        for iid in np.unique(obs_img):
+            sel = obs_img == iid
+            img = self.images[int(iid)]
+            cam = self.cameras[img.camera_id]
+            errs[sel] = lines_np.squared_line_reprojection_error(
+                img.lines[obs_li[sel]], xyz[sel],
+                img.projection_matrix(), cam.model, cam.params,
+                cam.width, cam.height)
+        return errs
 
     def filter_points3d(self, max_reproj_error: float, min_tri_angle_deg: float,
                         point3d_ids: Optional[Set[int]] = None) -> int:
@@ -219,6 +263,9 @@ class Reconstruction:
         #bad >= track_len - 3."""
         max_sq = max_reproj_error ** 2
         num_filtered = 0
+
+        # Phase 1 (host bookkeeping): the no-random-line / short-track rule.
+        survivors = []
         for pid in list(point3d_ids):
             pt = self.points3d.get(pid)
             if pt is None:
@@ -228,25 +275,41 @@ class Reconstruction:
             if not have_random or len(pt.track) < 3:
                 num_filtered += len(pt.track)
                 self.delete_point3d(pid)
-                continue
-            errors = []
-            to_delete = []
-            err_sum = 0.0
-            for iid, li in pt.track:
-                sq = self._squared_line_reproj_error(self.images[iid], li,
-                                                     pt.xyz)
-                if sq > max_sq:
-                    to_delete.append((iid, li))
-                else:
-                    err_sum += np.sqrt(sq)
-            if len(to_delete) >= len(pt.track) - 3:
-                num_filtered += len(pt.track)
+            else:
+                survivors.append(pid)
+        if not survivors:
+            return num_filtered
+
+        # Phase 2: one vectorized error evaluation over every observation
+        # of every surviving track (round-1 did one device call per obs).
+        obs_img, obs_li, obs_pid, xyz = [], [], [], []
+        for pid in survivors:
+            for iid, li in self.points3d[pid].track:
+                obs_img.append(iid)
+                obs_li.append(li)
+                obs_pid.append(pid)
+                xyz.append(self.points3d[pid].xyz)
+        errs = self.batch_squared_line_errors(
+            np.asarray(obs_img), np.asarray(obs_li), np.stack(xyz))
+
+        # Phase 3: per-point decisions, exact reference order of effects.
+        by_pid: Dict[int, List[int]] = {}
+        for k, pid in enumerate(obs_pid):
+            by_pid.setdefault(pid, []).append(k)
+        for pid in survivors:
+            idxs = by_pid[pid]
+            pt = self.points3d[pid]
+            bad = [k for k in idxs if errs[k] > max_sq]
+            if len(bad) >= len(idxs) - 3:
+                num_filtered += len(idxs)
                 self.delete_point3d(pid)
             else:
-                num_filtered += len(to_delete)
-                for iid, li in to_delete:
-                    self.delete_observation(iid, li)
+                num_filtered += len(bad)
+                for k in bad:
+                    self.delete_observation(obs_img[k], obs_li[k])
                 if pid in self.points3d:
+                    err_sum = sum(np.sqrt(errs[k]) for k in idxs
+                                  if errs[k] <= max_sq)
                     pt.error = err_sum / len(pt.track)
         return num_filtered
 
@@ -254,32 +317,26 @@ class Reconstruction:
             self, min_tri_angle_deg: float, point3d_ids: Set[int]) -> int:
         """``reconstruction.cc:594-654``: delete when no image pair in the
         track reaches the minimum triangulation angle."""
-        import jax.numpy as jnp
-        from privacy_preserving_sfm_tpu.ops import triangulation as tri_ops
+        from privacy_preserving_sfm_tpu.ops import lines_np
 
         min_rad = np.deg2rad(min_tri_angle_deg)
-        centers = {}
+        centers: Dict[int, np.ndarray] = {}
         num_filtered = 0
         for pid in list(point3d_ids):
             pt = self.points3d.get(pid)
             if pt is None:
                 continue
-            keep = False
-            track = pt.track
-            for i1 in range(len(track)):
-                iid1 = track[i1][0]
-                if iid1 not in centers:
-                    centers[iid1] = self.images[iid1].projection_center()
-                for i2 in range(i1):
-                    iid2 = track[i2][0]
-                    ang = float(tri_ops.triangulation_angle(
-                        jnp.asarray(centers[iid1]), jnp.asarray(centers[iid2]),
-                        jnp.asarray(pt.xyz)))
-                    if ang >= min_rad:
-                        keep = True
-                        break
-                if keep:
-                    break
+            track_imgs = sorted({iid for iid, _ in pt.track})
+            for iid in track_imgs:
+                if iid not in centers:
+                    centers[iid] = self.images[iid].projection_center()
+            C = np.stack([centers[iid] for iid in track_imgs])
+            iu, ju = np.triu_indices(len(track_imgs), k=1)
+            if len(iu) == 0:
+                keep = False
+            else:
+                angs = lines_np.triangulation_angle(C[iu], C[ju], pt.xyz)
+                keep = bool(np.any(angs >= min_rad))
             if not keep:
                 num_filtered += 1
                 self.delete_point3d(pid)
@@ -358,17 +415,16 @@ class Reconstruction:
 
     def transform(self, scale: float, R: np.ndarray, t: np.ndarray):
         """Apply similarity x -> scale * R x + t to the world frame."""
-        from privacy_preserving_sfm_tpu.ops import lie
-        import jax.numpy as jnp
+        from privacy_preserving_sfm_tpu.ops import lie_np
         for img in self.images.values():
             if not img.registered:
                 continue
             # World->cam: x_c = Rc x_w + tc; new world coords:
             # x_w = (R^T (x'_w - t)) / scale
-            Rc = np.asarray(lie.quat_to_rotmat(jnp.asarray(img.qvec)))
+            Rc = img.rotation_matrix()
             Rc_new = Rc @ R.T
             t_new = img.tvec * scale - Rc_new @ t
-            img.qvec = np.asarray(lie.rotmat_to_quat(jnp.asarray(Rc_new)))
+            img.qvec = lie_np.rotmat_to_quat(Rc_new)
             img.tvec = t_new
         for pt in self.points3d.values():
             pt.xyz = scale * (R @ pt.xyz) + t

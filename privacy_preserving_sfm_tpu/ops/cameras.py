@@ -38,25 +38,25 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def _distort_none(p, u, v):
-    return jnp.zeros_like(u), jnp.zeros_like(v)
+def _distort_none(p, u, v, xp=jnp):
+    return xp.zeros_like(u), xp.zeros_like(v)
 
 
-def _distort_simple_radial(p, u, v):
+def _distort_simple_radial(p, u, v, xp=jnp):
     k = p[..., 0]
     r2 = u * u + v * v
     radial = k * r2
     return u * radial, v * radial
 
 
-def _distort_radial(p, u, v):
+def _distort_radial(p, u, v, xp=jnp):
     k1, k2 = p[..., 0], p[..., 1]
     r2 = u * u + v * v
     radial = k1 * r2 + k2 * r2 * r2
     return u * radial, v * radial
 
 
-def _distort_opencv(p, u, v):
+def _distort_opencv(p, u, v, xp=jnp):
     k1, k2, p1, p2 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     u2, v2, uv = u * u, v * v, u * v
     r2 = u2 + v2
@@ -66,7 +66,7 @@ def _distort_opencv(p, u, v):
     return du, dv
 
 
-def _distort_full_opencv(p, u, v):
+def _distort_full_opencv(p, u, v, xp=jnp):
     k1, k2, p1, p2 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     k3, k4, k5, k6 = p[..., 4], p[..., 5], p[..., 6], p[..., 7]
     u2, v2, uv = u * u, v * v, u * v
@@ -79,84 +79,84 @@ def _distort_full_opencv(p, u, v):
     return du, dv
 
 
-def _fisheye_thetad(p_terms, u, v):
+def _fisheye_thetad(p_terms, u, v, xp=jnp):
     """Common fisheye mapping: theta-polynomial radial distortion.
 
     p_terms is a tuple of odd-power theta coefficients (k1, k2, ...) applied
     as thetad = theta * (1 + k1 th^2 + k2 th^4 + ...).
     """
-    eps = jnp.asarray(jnp.finfo(u.dtype).eps, u.dtype)
-    r = jnp.sqrt(u * u + v * v)
-    r_safe = jnp.maximum(r, eps)
-    theta = jnp.arctan(r_safe)
+    eps = xp.asarray(xp.finfo(u.dtype).eps, u.dtype)
+    r = xp.sqrt(u * u + v * v)
+    r_safe = xp.maximum(r, eps)
+    theta = xp.arctan(r_safe)
     th2 = theta * theta
-    poly = jnp.ones_like(theta)
-    acc = jnp.ones_like(theta)
+    poly = xp.ones_like(theta)
+    acc = xp.ones_like(theta)
     for k in p_terms:
         acc = acc * th2
         poly = poly + k * acc
     thetad = theta * poly
-    scale = jnp.where(r > eps, thetad / r_safe, jnp.ones_like(r))
+    scale = xp.where(r > eps, thetad / r_safe, xp.ones_like(r))
     return u * scale - u, v * scale - v
 
 
-def _distort_opencv_fisheye(p, u, v):
-    return _fisheye_thetad((p[..., 0], p[..., 1], p[..., 2], p[..., 3]), u, v)
+def _distort_opencv_fisheye(p, u, v, xp=jnp):
+    return _fisheye_thetad((p[..., 0], p[..., 1], p[..., 2], p[..., 3]), u, v, xp)
 
 
-def _distort_simple_radial_fisheye(p, u, v):
-    return _fisheye_thetad((p[..., 0],), u, v)
+def _distort_simple_radial_fisheye(p, u, v, xp=jnp):
+    return _fisheye_thetad((p[..., 0],), u, v, xp)
 
 
-def _distort_radial_fisheye(p, u, v):
-    return _fisheye_thetad((p[..., 0], p[..., 1]), u, v)
+def _distort_radial_fisheye(p, u, v, xp=jnp):
+    return _fisheye_thetad((p[..., 0], p[..., 1]), u, v, xp)
 
 
-def _distort_fov(p, u, v):
+def _distort_fov(p, u, v, xp=jnp):
     # FOV model (reference camera_models.h:1136-1173), Taylor fallbacks for
     # small omega / small radius included for the same numerical behavior.
     omega = p[..., 0]
     eps = 1e-4
     radius2 = u * u + v * v
     omega2 = omega * omega
-    tan_half = jnp.tan(omega / 2)
-    radius = jnp.sqrt(jnp.maximum(radius2, jnp.finfo(u.dtype).tiny))
+    tan_half = xp.tan(omega / 2)
+    radius = xp.sqrt(xp.maximum(radius2, xp.finfo(u.dtype).tiny))
 
-    factor_generic = jnp.arctan(radius * 2 * tan_half) / (radius * omega)
+    factor_generic = xp.arctan(radius * 2 * tan_half) / (radius * omega)
     factor_small_omega = omega2 * radius2 / 3 - omega2 / 12 + 1
     factor_small_radius = (-2 * tan_half * (4 * radius2 * tan_half * tan_half - 3)) / (3 * omega)
 
-    factor = jnp.where(
+    factor = xp.where(
         omega2 < eps,
         factor_small_omega,
-        jnp.where(radius2 < eps, factor_small_radius, factor_generic),
+        xp.where(radius2 < eps, factor_small_radius, factor_generic),
     )
     # NOTE: FOV "distortion" returns the distorted point directly (u*factor),
     # not a delta — mirrored in world_to_image below.
     return u * factor, v * factor
 
 
-def _undistort_fov(p, u, v):
+def _undistort_fov(p, u, v, xp=jnp):
     omega = p[..., 0]
     eps = 1e-4
     radius2 = u * u + v * v
     omega2 = omega * omega
-    tan_half = jnp.tan(omega / 2)
-    radius = jnp.sqrt(jnp.maximum(radius2, jnp.finfo(u.dtype).tiny))
+    tan_half = xp.tan(omega / 2)
+    radius = xp.sqrt(xp.maximum(radius2, xp.finfo(u.dtype).tiny))
 
-    factor_generic = jnp.tan(radius * omega) / (radius * 2 * tan_half)
+    factor_generic = xp.tan(radius * omega) / (radius * 2 * tan_half)
     factor_small_omega = omega2 * radius2 / 3 - omega2 / 12 + 1
     factor_small_radius = omega * (omega * omega * radius2 + 3) / (6 * tan_half)
 
-    factor = jnp.where(
+    factor = xp.where(
         omega2 < eps,
         factor_small_omega,
-        jnp.where(radius2 < eps, factor_small_radius, factor_generic),
+        xp.where(radius2 < eps, factor_small_radius, factor_generic),
     )
     return u * factor, v * factor
 
 
-def _distort_thin_prism_fisheye(p, u, v):
+def _distort_thin_prism_fisheye(p, u, v, xp=jnp):
     k1, k2, p1, p2 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     k3, k4, sx1, sy1 = p[..., 4], p[..., 5], p[..., 6], p[..., 7]
     u2, v2, uv = u * u, v * v, u * v
@@ -214,8 +214,8 @@ _register(10, "THIN_PRISM_FISHEYE", 12, (0, 1), (2, 3), tuple(range(4, 12)),
           _distort_thin_prism_fisheye, fisheye_pre=True)
 
 
-def _split_params(spec: CameraModelSpec, params: jax.Array):
-    f = jnp.stack([params[..., i] for i in spec.focal_idxs], axis=-1)
+def _split_params(spec: CameraModelSpec, params, xp=jnp):
+    f = xp.stack([params[..., i] for i in spec.focal_idxs], axis=-1)
     if len(spec.focal_idxs) == 1:
         fx = fy = f[..., 0]
     else:
@@ -237,30 +237,31 @@ def _split_params(spec: CameraModelSpec, params: jax.Array):
 _NEWTON_ITERS = 20
 
 
-def world_to_image(model: str, params: jax.Array, uv: jax.Array) -> jax.Array:
+def world_to_image(model: str, params, uv, xp=jnp):
     """Normalized camera coords (..., 2) -> pixel coords (..., 2).
 
     Semantics of ``CameraModel::WorldToImage`` for every model in the zoo.
-    ``model`` must be a static Python string.
+    ``model`` must be a static Python string.  Pass ``xp=numpy`` for a
+    device-free host evaluation (used by the orchestration fast paths).
     """
     spec = MODELS[model]
-    fx, fy, cx, cy, extra = _split_params(spec, params)
+    fx, fy, cx, cy, extra = _split_params(spec, params, xp)
     u, v = uv[..., 0], uv[..., 1]
 
     if spec.fisheye_pre:  # THIN_PRISM_FISHEYE: pre-warp to theta coords
-        eps = jnp.asarray(jnp.finfo(uv.dtype).eps, uv.dtype)
-        r = jnp.sqrt(u * u + v * v)
-        r_safe = jnp.maximum(r, eps)
-        theta = jnp.arctan(r_safe)
-        scale = jnp.where(r > eps, theta / r_safe, jnp.ones_like(r))
+        eps = xp.asarray(xp.finfo(uv.dtype).eps, uv.dtype)
+        r = xp.sqrt(u * u + v * v)
+        r_safe = xp.maximum(r, eps)
+        theta = xp.arctan(r_safe)
+        scale = xp.where(r > eps, theta / r_safe, xp.ones_like(r))
         u, v = u * scale, v * scale
 
     if spec.fov_style:
-        x, y = spec.distort(extra, u, v)
+        x, y = spec.distort(extra, u, v, xp)
     else:
-        du, dv = spec.distort(extra, u, v)
+        du, dv = spec.distort(extra, u, v, xp)
         x, y = u + du, v + dv
-    return jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
+    return xp.stack([fx * x + cx, fy * y + cy], axis=-1)
 
 
 def _newton_undistort(distort_fn, extra: jax.Array, xy: jax.Array) -> jax.Array:

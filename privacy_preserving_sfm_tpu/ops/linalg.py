@@ -89,10 +89,11 @@ def symmetric_eig_smallest(G: jax.Array) -> jax.Array:
     straight-line code.  Intended for small n (<= 10-ish).
     """
     n = G.shape[-1]
-    V = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
-    A = G
+    V0 = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
     pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
-    for _ in range(_JACOBI_SWEEPS):
+
+    def sweep(_, AV):
+        A, V = AV
         for p, q in pairs:
             app = A[..., p, p]
             aqq = A[..., q, q]
@@ -107,6 +108,11 @@ def symmetric_eig_smallest(G: jax.Array) -> jax.Array:
             J = J.at[..., q, p].set(-s)
             A = jnp.einsum("...ji,...jk,...kl->...il", J, A, J)
             V = jnp.einsum("...ij,...jk->...ik", V, J)
+        return A, V
+
+    # fori_loop over sweeps: 10x smaller jaxpr than full unrolling (the
+    # round-1 unrolled version dominated mapper trace time).
+    A, V = jax.lax.fori_loop(0, _JACOBI_SWEEPS, sweep, (G, V0))
     idx = jnp.argmin(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
     v = jnp.take_along_axis(V, idx[..., None, None].repeat(n, -2), axis=-1)
     v = v[..., 0]

@@ -66,12 +66,87 @@ class TriangulatorOptions:
 
 
 class IncrementalTriangulator:
-    def __init__(self, graph: CorrespondenceGraph, rec: Reconstruction):
+    def __init__(self, graph: CorrespondenceGraph, rec: Reconstruction,
+                 view=None):
         self.graph = graph
         self.rec = rec
+        self.view = view  # optional models.graph_view.GraphView fast path
         self.modified_point3d_ids: Set[int] = set()
         self._merge_trials: Dict[int, Set[int]] = {}
         self._jit_cache: Dict[Tuple, callable] = {}
+        self._two_view_cache: Dict[int, np.ndarray] = {}
+
+    # -- vectorized graph helpers ---------------------------------------
+
+    def _corrs(self, image_id: int, line_idx: int):
+        """Correspondences of one feature, CSR fast path when available."""
+        view = self.view
+        if view is not None and image_id in view.dense:
+            f = int(view.feat_offset[view.dense[image_id]]) + line_idx
+            a, b = view.row_offsets[f], view.row_offsets[f + 1]
+            return [(int(view.image_id_arr[view.corr_img_dense[j]]),
+                     int(view.corr_line[j])) for j in range(a, b)]
+        return self.graph.find_correspondences(image_id, line_idx)
+
+    def _registered_dense(self, view) -> np.ndarray:
+        out = np.zeros(len(view.image_ids), bool)
+        for d, iid in enumerate(view.image_ids):
+            img = self.rec.images.get(iid)
+            out[d] = img is not None and img.registered
+        return out
+
+    def _tri_flat(self, view) -> np.ndarray:
+        """Flat per-feature bool: feature currently triangulated."""
+        return view.concat_per_image(
+            lambda iid: self.rec.images[iid].point3d_ids >= 0
+            if iid in self.rec.images
+            else np.zeros(view.num_lines[view.dense[iid]], bool))
+
+    def _find_all(self, options: TriangulatorOptions, image_id: int):
+        """Run ``_find`` for every line of an image in one vectorized pass.
+
+        Returns [(line_idx, pool, num_triangulated)] for lines with a
+        non-empty registered-correspondence pool.
+        """
+        view = self.view
+        if view is None or options.max_transitivity != 1 \
+                or image_id not in view.dense:
+            out = []
+            for line_idx in range(self.rec.images[image_id].num_lines):
+                pool, ntri = self._find(options, image_id, line_idx)
+                if pool:
+                    out.append((line_idx, pool, ntri))
+            return out
+        s, e = view.corr_range(image_id)
+        cim = view.corr_img_dense[s:e]
+        cfl = view.corr_flat[s:e]
+        cline = view.corr_line[s:e]
+        reg = self._registered_dense(view)
+        tri = self._tri_flat(view)
+        mask = reg[cim]
+        ro = view.image_row_offsets(image_id)
+        base = ro[0]
+        img_ids = view.image_id_arr
+        cs = np.concatenate([[0], np.cumsum(mask)])
+        out = []
+        for li in range(len(ro) - 1):
+            a, b = int(ro[li] - base), int(ro[li + 1] - base)
+            if cs[b] - cs[a] == 0:
+                continue
+            idx = np.nonzero(mask[a:b])[0] + a
+            pool = [(int(img_ids[cim[j]]), int(cline[j])) for j in idx]
+            ntri = int(np.count_nonzero(tri[cfl[idx]]))
+            out.append((li, pool, ntri))
+        return out
+
+    def _is_two_view(self, image_id: int, line_idx: int) -> bool:
+        view = self.view
+        if view is not None and image_id in view.dense:
+            if image_id not in self._two_view_cache:
+                self._two_view_cache[image_id] = \
+                    view.two_view_flags(image_id)
+            return bool(self._two_view_cache[image_id][line_idx])
+        return self.graph.is_two_view_observation(image_id, line_idx)
 
     # -- device-kernel wrappers -----------------------------------------
 
@@ -128,18 +203,20 @@ class IncrementalTriangulator:
         return res
 
     def _pixel_error(self, image, line_idx: int, xyz: np.ndarray) -> float:
+        from privacy_preserving_sfm_tpu.ops import lines_np
         cam = self.rec.cameras[image.camera_id]
-        k = sfm_kernels.squared_pixel_error_kernel(cam.model)
-        return float(k(image.lines[line_idx], xyz,
-                       image.projection_matrix(), cam.params,
-                       cam.width, cam.height))
+        return float(lines_np.squared_line_reprojection_error(
+            image.lines[line_idx], np.asarray(xyz, float),
+            image.projection_matrix(), cam.model, cam.params,
+            cam.width, cam.height))
 
     def _angular_error(self, image, line_idx: int, xyz) -> float:
+        from privacy_preserving_sfm_tpu.ops import lines_np
         cam = self.rec.cameras[image.camera_id]
-        k = sfm_kernels.angular_error_kernel(cam.model)
-        return float(k(image.lines[line_idx], np.asarray(xyz),
-                       image.projection_matrix(), cam.params,
-                       cam.width, cam.height))
+        return float(lines_np.line_angular_error(
+            image.lines[line_idx], np.asarray(xyz, float),
+            image.projection_matrix(), cam.model, cam.params,
+            cam.width, cam.height))
 
     # -- Find ------------------------------------------------------------
 
@@ -192,20 +269,31 @@ class IncrementalTriangulator:
 
     def _continue(self, options: TriangulatorOptions, image_id: int,
                   line_idx: int, pool) -> int:
+        from privacy_preserving_sfm_tpu.ops import lines_np
+
         img = self.rec.images[image_id]
         if img.point3d_ids[line_idx] >= 0:
             return 0
-        best_err = np.inf
-        best_pid = None
+        # One vectorized angular-error evaluation over all candidate points
+        # (single camera: the image being continued).
+        pids: List[int] = []
+        seen: Set[int] = set()
         for iid, li in pool:
             pid = int(self.rec.images[iid].point3d_ids[li])
-            if pid < 0:
-                continue
-            err = self._angular_error(img, line_idx,
-                                      self.rec.points3d[pid].xyz)
-            if err < best_err:
-                best_err = err
-                best_pid = pid
+            if pid >= 0 and pid not in seen:
+                seen.add(pid)
+                pids.append(pid)
+        best_err = np.inf
+        best_pid = None
+        if pids:
+            cam = self.rec.cameras[img.camera_id]
+            xyzs = np.stack([self.rec.points3d[p].xyz for p in pids])
+            errs = lines_np.line_angular_error(
+                img.lines[line_idx], xyzs, img.projection_matrix(),
+                cam.model, cam.params, cam.width, cam.height)
+            k = int(np.argmin(errs))
+            best_err = float(errs[k])
+            best_pid = pids[k]
         if best_pid is not None and \
                 best_err <= np.deg2rad(options.continue_max_angle_error):
             self.rec.add_observation(best_pid, image_id, line_idx)
@@ -331,10 +419,8 @@ class IncrementalTriangulator:
 
         # Pass 1: Find everything; Continue (cheap, state-dependent) first.
         found = []
-        for line_idx in range(img.num_lines):
-            pool, num_triangulated = self._find(options, image_id, line_idx)
-            if not pool:
-                continue
+        for line_idx, pool, num_triangulated in self._find_all(options,
+                                                               image_id):
             if num_triangulated > 0:
                 num_tris += self._continue(options, image_id, line_idx, pool)
             found.append((line_idx, pool))
@@ -363,16 +449,23 @@ class IncrementalTriangulator:
         img = self.rec.images[image_id]
         if not img.registered:
             return 0
+        found = {li: (pool, ntri)
+                 for li, pool, ntri in self._find_all(options, image_id)}
         for line_idx in range(img.num_lines):
             pid = int(img.point3d_ids[line_idx])
             if pid >= 0:
                 num_tris += self._complete(options, pid)
                 continue
             if options.ignore_two_view_tracks and \
-                    self.graph.is_two_view_observation(image_id, line_idx):
+                    self._is_two_view(image_id, line_idx):
                 continue
-            pool, num_triangulated = self._find(options, image_id, line_idx)
+            pool, num_triangulated = found.get(line_idx, ([], 0))
             if num_triangulated or not pool:
+                continue
+            # Re-check against live state: earlier lines of this loop may
+            # have triangulated pool members since the snapshot.
+            if any(self.rec.images[iid].point3d_ids[li] >= 0
+                   for iid, li in pool):
                 continue
             full = pool + [(image_id, line_idx)]
             if len(full) < 3:
@@ -400,23 +493,38 @@ class IncrementalTriangulator:
         for transitivity in range(options.complete_max_transitivity):
             if not queue:
                 break
-            prev_queue = queue
-            queue = []
-            for qiid, qli in prev_queue:
-                for iid, li in self.graph.find_correspondences(qiid, qli):
+            # Gather every untriangulated registered correspondence of the
+            # BFS frontier, then evaluate all pixel errors in one host call.
+            cand: List[Tuple[int, int]] = []
+            seen_local: Set[Tuple[int, int]] = set()
+            for qiid, qli in queue:
+                for iid, li in self._corrs(qiid, qli):
+                    if (iid, li) in seen_local:
+                        continue
+                    seen_local.add((iid, li))
                     img = self.rec.images.get(iid)
                     if img is None or not img.registered:
                         continue
                     if img.point3d_ids[li] >= 0:
                         continue
-                    xyz = self.rec.points3d[pid].xyz
-                    if self._pixel_error(img, li, xyz) > max_sq:
-                        continue
-                    self.rec.add_observation(pid, iid, li)
-                    self.modified_point3d_ids.add(pid)
-                    if transitivity < options.complete_max_transitivity - 1:
-                        queue.append((iid, li))
-                    num_completed += 1
+                    cand.append((iid, li))
+            queue = []
+            if not cand:
+                continue
+            xyz = self.rec.points3d[pid].xyz
+            errs = self.rec.batch_squared_line_errors(
+                np.asarray([c[0] for c in cand]),
+                np.asarray([c[1] for c in cand]), xyz)
+            for k, (iid, li) in enumerate(cand):
+                if errs[k] > max_sq:
+                    continue
+                if self.rec.images[iid].point3d_ids[li] >= 0:
+                    continue  # claimed earlier in this level
+                self.rec.add_observation(pid, iid, li)
+                self.modified_point3d_ids.add(pid)
+                if transitivity < options.complete_max_transitivity - 1:
+                    queue.append((iid, li))
+                num_completed += 1
         return num_completed
 
     def _merge(self, options: TriangulatorOptions, pid: int) -> int:
@@ -427,7 +535,7 @@ class IncrementalTriangulator:
         max_sq = options.merge_max_reproj_error ** 2
         point = self.rec.points3d[pid]
         for iid, li in list(point.track):
-            for ciid, cli in self.graph.find_correspondences(iid, li):
+            for ciid, cli in self._corrs(iid, li):
                 img = self.rec.images.get(ciid)
                 if img is None or not img.registered:
                     continue
@@ -441,12 +549,11 @@ class IncrementalTriangulator:
                 corr_point = self.rec.points3d[cpid]
                 n1, n2 = len(point.track), len(corr_point.track)
                 merged_xyz = (n1 * point.xyz + n2 * corr_point.xyz) / (n1 + n2)
-                ok = True
-                for tiid, tli in list(point.track) + list(corr_point.track):
-                    timg = self.rec.images[tiid]
-                    if self._pixel_error(timg, tli, merged_xyz) > max_sq:
-                        ok = False
-                        break
+                both = list(point.track) + list(corr_point.track)
+                errs = self.rec.batch_squared_line_errors(
+                    np.asarray([o[0] for o in both]),
+                    np.asarray([o[1] for o in both]), merged_xyz)
+                ok = bool(np.all(errs <= max_sq))
                 if ok:
                     num_merged = n1 + n2
                     mpid = self.rec.merge_points3d(pid, cpid)

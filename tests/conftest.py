@@ -21,3 +21,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the mapper's bucketed kernels compile
+# once per machine, not once per test process.
+from privacy_preserving_sfm_tpu.utils.jax_setup import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
