@@ -52,49 +52,55 @@ def shard_problem(problem: ba_mod.BAProblem, n_shards: int):
     """
     obs_point = np.asarray(problem.obs_point)
     obs_weight = np.asarray(problem.obs_weight)
+    points_np = np.asarray(problem.points3d)
+    pmask_np = np.asarray(problem.point_mask)
     P_total = problem.points3d.shape[0]
 
-    # Count observations per point (valid only).
+    # Count observations per point (valid only) and balance by "snake"
+    # assignment in descending-count order: fully vectorized and within
+    # one max-track-length of the greedy optimum.
     counts = np.bincount(obs_point[obs_weight > 0], minlength=P_total)
-    order = np.argsort(-counts)
-    shard_load = np.zeros(n_shards, np.int64)
-    point_shard = np.zeros(P_total, np.int32)
-    for pid in order:
-        s = int(np.argmin(shard_load))
-        point_shard[pid] = s
-        shard_load[s] += counts[pid]
+    order = np.argsort(-counts, kind="stable")
+    ranks = np.empty(P_total, np.int64)
+    ranks[order] = np.arange(P_total)
+    period = ranks % (2 * n_shards)
+    snake = np.where(period < n_shards, period, 2 * n_shards - 1 - period)
+    point_shard = snake.astype(np.int32)
 
-    # Per-shard point index remap.
-    points_per_shard = max(1, int(np.max(np.bincount(
-        point_shard, minlength=n_shards))))
-    point_slot = np.zeros(P_total, np.int32)
+    # Per-shard point slots: stable sort by shard, positions within group.
+    shard_counts = np.bincount(point_shard, minlength=n_shards)
+    points_per_shard = max(1, int(shard_counts.max()))
+    by_shard = np.argsort(point_shard, kind="stable")
+    group_start = np.concatenate([[0], np.cumsum(shard_counts)[:-1]])
+    point_slot = np.empty(P_total, np.int32)
+    point_slot[by_shard] = (np.arange(P_total)
+                            - group_start[point_shard[by_shard]])
     new_points = np.zeros((n_shards, points_per_shard, 3))
     new_point_mask = np.zeros((n_shards, points_per_shard))
-    fill = np.zeros(n_shards, np.int32)
-    for pid in range(P_total):
-        s = point_shard[pid]
-        point_slot[pid] = fill[s]
-        new_points[s, fill[s]] = np.asarray(problem.points3d[pid])
-        new_point_mask[s, fill[s]] = np.asarray(problem.point_mask[pid])
-        fill[s] += 1
+    new_points[point_shard, point_slot] = points_np
+    new_point_mask[point_shard, point_slot] = pmask_np
 
-    # Observations per shard (padded to the max).
-    obs_idx_by_shard = [
-        np.nonzero((point_shard[obs_point] == s) & (obs_weight > 0))[0]
-        for s in range(n_shards)]
-    obs_per_shard = max(1, max(len(o) for o in obs_idx_by_shard))
-    O = obs_per_shard
+    # Observations per shard (padded to the max), vectorized scatter.
+    valid = obs_weight > 0
+    obs_shard = point_shard[obs_point]
+    obs_shard_counts = np.bincount(obs_shard[valid], minlength=n_shards)
+    O = max(1, int(obs_shard_counts.max()))
+    vidx = np.nonzero(valid)[0]
+    vs = obs_shard[vidx]
+    vorder = np.argsort(vs, kind="stable")
+    vidx = vidx[vorder]
+    vs = vs[vorder]
+    ostart = np.concatenate([[0], np.cumsum(obs_shard_counts)[:-1]])
+    oslot = np.arange(len(vidx)) - ostart[vs]
     new_obs_cam = np.zeros((n_shards, O), np.int32)
     new_obs_point = np.zeros((n_shards, O), np.int32)
     new_obs_line = np.zeros((n_shards, O, 3))
     new_obs_line[..., 0] = 1.0
     new_obs_weight = np.zeros((n_shards, O))
-    for s, idxs in enumerate(obs_idx_by_shard):
-        k = len(idxs)
-        new_obs_cam[s, :k] = np.asarray(problem.obs_cam)[idxs]
-        new_obs_point[s, :k] = point_slot[np.asarray(obs_point)[idxs]]
-        new_obs_line[s, :k] = np.asarray(problem.obs_line)[idxs]
-        new_obs_weight[s, :k] = np.asarray(problem.obs_weight)[idxs]
+    new_obs_cam[vs, oslot] = np.asarray(problem.obs_cam)[vidx]
+    new_obs_point[vs, oslot] = point_slot[obs_point[vidx]]
+    new_obs_line[vs, oslot] = np.asarray(problem.obs_line)[vidx]
+    new_obs_weight[vs, oslot] = obs_weight[vidx]
 
     sharded = ba_mod.BAProblem(
         qvecs=problem.qvecs, tvecs=problem.tvecs,

@@ -29,3 +29,8 @@ from privacy_preserving_sfm_tpu.utils.jax_setup import (  # noqa: E402
 )
 
 enable_persistent_cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test")
