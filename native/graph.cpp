@@ -160,6 +160,21 @@ void* ppsfm_assemble_tracks(void* gp, const uint32_t* seed_ids,
           corrs.emplace_back(cimg, cli);
         }
       }
+      // Cap the per-feature correspondence fan-out: C(n, 3) explodes on
+      // densely-matched sets (n ~ 50 gives 20k combos per feature).  An
+      // even-stride subsample keeps coverage across the image range while
+      // bounding assembly at C(kMaxCorrs, 3) = 560 combos per feature.
+      constexpr int64_t kMaxCorrs = 16;
+      if (static_cast<int64_t>(corrs.size()) > kMaxCorrs) {
+        std::vector<std::pair<uint32_t, uint32_t>> sampled;
+        sampled.reserve(kMaxCorrs);
+        const double stride =
+            static_cast<double>(corrs.size()) / kMaxCorrs;
+        for (int64_t s2 = 0; s2 < kMaxCorrs; ++s2) {
+          sampled.push_back(corrs[static_cast<int64_t>(s2 * stride)]);
+        }
+        corrs.swap(sampled);
+      }
       const int64_t n = static_cast<int64_t>(corrs.size());
       if (n < 3) continue;
       for (int64_t i = 0; i < n; ++i) {

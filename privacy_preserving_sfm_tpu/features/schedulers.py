@@ -28,38 +28,54 @@ from privacy_preserving_sfm_tpu.features import matching
 from privacy_preserving_sfm_tpu.models.database import Database
 
 
-def _load_descriptor_table(db: Database, image_ids: Sequence[int]):
+def _load_descriptor_table(db: Database, image_ids: Sequence[int],
+                           n_pad: Optional[int] = None,
+                           i_pad: Optional[int] = None):
     """Stack per-image descriptors into a padded (I, N, 128) table."""
     descs = [db.read_descriptors(iid) for iid in image_ids]
     n_max = max(1, max(len(d) for d in descs))
     # Pad to a multiple of 128 rows for MXU-aligned matmuls.
     n_max = ((n_max + 127) // 128) * 128
-    table = np.zeros((len(descs), n_max, 128), np.uint8)
-    valid = np.zeros((len(descs), n_max), bool)
+    if n_pad is not None:
+        n_max = max(n_max, n_pad)
+    rows = len(descs) if i_pad is None else max(len(descs), i_pad)
+    table = np.zeros((rows, n_max, 128), np.uint8)
+    valid = np.zeros((rows, n_max), bool)
     for i, d in enumerate(descs):
         table[i, :len(d)] = d
         valid[i, :len(d)] = True
     return jnp.asarray(table), jnp.asarray(valid)
 
 
-def match_pair_list(db: Database, image_ids: Sequence[int],
-                    pairs: Sequence[Tuple[int, int]],
-                    max_ratio: float = 0.8, max_distance: float = 0.7,
-                    cross_check: bool = True, min_num_matches: int = 15,
-                    chunk: int = 64, verbose: bool = False) -> int:
-    """Match and persist a pair list; returns #pairs with >= min matches."""
-    if not pairs:
-        return 0
+_MATCH_JIT: Dict[Tuple, object] = {}
+
+
+def _matcher_fn(max_ratio: float, max_distance: float, cross_check: bool):
+    """Shape-polymorphic jitted matcher, cached so block-resident tiles of
+    identical padded shape reuse one compilation."""
+    key = (max_ratio, max_distance, cross_check)
+    if key not in _MATCH_JIT:
+        _MATCH_JIT[key] = jax.jit(
+            lambda table, valid, pair_idx: matching.match_many_pairs(
+                table, valid, pair_idx, max_ratio=max_ratio,
+                max_distance=max_distance, cross_check=cross_check))
+    return _MATCH_JIT[key]
+
+
+def _match_resident(db: Database, image_ids: Sequence[int],
+                    todo: Sequence[Tuple[int, int]],
+                    max_ratio: float, max_distance: float, cross_check: bool,
+                    min_num_matches: int, chunk: int, verbose: bool,
+                    n_pad: Optional[int] = None,
+                    i_pad: Optional[int] = None,
+                    progress_offset: int = 0,
+                    progress_total: Optional[int] = None) -> int:
+    """Match a pair list against a fully device-resident descriptor table."""
     index = {iid: i for i, iid in enumerate(image_ids)}
-    table, valid = _load_descriptor_table(db, image_ids)
+    table, valid = _load_descriptor_table(db, image_ids, n_pad, i_pad)
+    run_chunk = _matcher_fn(max_ratio, max_distance, cross_check)
+    total = progress_total if progress_total is not None else len(todo)
 
-    @jax.jit
-    def run_chunk(pair_idx):
-        return matching.match_many_pairs(
-            table, valid, pair_idx, max_ratio=max_ratio,
-            max_distance=max_distance, cross_check=cross_check)
-
-    todo = [p for p in pairs if not db.exists_matches(*p)]
     num_good = 0
     for start in range(0, len(todo), chunk):
         batch = todo[start:start + chunk]
@@ -69,7 +85,7 @@ def match_pair_list(db: Database, image_ids: Sequence[int],
         if pad:
             pair_idx = np.concatenate(
                 [pair_idx, np.zeros((pad, 2), np.int32)])
-        res = run_chunk(jnp.asarray(pair_idx))
+        res = run_chunk(table, valid, jnp.asarray(pair_idx))
         m = np.asarray(res.matches)
         for k, (a, b) in enumerate(batch):
             idx2 = m[k]
@@ -81,8 +97,72 @@ def match_pair_list(db: Database, image_ids: Sequence[int],
                 num_good += 1
             db.write_matches(a, b, out)
         if verbose:
-            print(f"  matched pairs {start + len(batch)}/{len(todo)}",
+            print(f"  matched pairs "
+                  f"{progress_offset + start + len(batch)}/{total}",
                   flush=True)
+    return num_good
+
+
+def match_pair_list(db: Database, image_ids: Sequence[int],
+                    pairs: Sequence[Tuple[int, int]],
+                    max_ratio: float = 0.8, max_distance: float = 0.7,
+                    cross_check: bool = True, min_num_matches: int = 15,
+                    chunk: int = 64, verbose: bool = False,
+                    max_resident_images: Optional[int] = 256) -> int:
+    """Match and persist a pair list; returns #pairs with >= min matches.
+
+    Bounded device memory: when more than ``max_resident_images`` images
+    are involved, images are partitioned into blocks and pairs are matched
+    block-against-block with only the two blocks' descriptors resident —
+    the TPU-native equivalent of the reference's block-exhaustive loop +
+    LRU ``FeatureMatcherCache`` (``matching.h:125-151``, ``matching.cc:
+    436-498``).  Block tables are padded to a common shape so every block
+    pair reuses one compiled matcher.
+    """
+    if not pairs:
+        return 0
+    todo = [p for p in pairs if not db.exists_matches(*p)]
+    if not todo:
+        db.commit()
+        return 0
+    involved = sorted({i for p in todo for i in p})
+
+    if max_resident_images is None or len(involved) <= max_resident_images:
+        num_good = _match_resident(
+            db, involved, todo, max_ratio, max_distance, cross_check,
+            min_num_matches, chunk, verbose)
+        db.commit()
+        return num_good
+
+    # Block partition: pair (a, b) -> bucket (block(a), block(b)).
+    blk = max(1, max_resident_images // 2)
+    block_of = {iid: k // blk for k, iid in enumerate(involved)}
+    blocks: Dict[int, List[int]] = {}
+    for iid in involved:
+        blocks.setdefault(block_of[iid], []).append(iid)
+    buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    for a, b in todo:
+        ba, bb = sorted((block_of[a], block_of[b]))
+        buckets.setdefault((ba, bb), []).append((a, b))
+
+    # Common padded shape across block pairs -> one matcher compilation.
+    counts = {iid: db.count_descriptors(iid)
+              if hasattr(db, "count_descriptors") else None
+              for iid in involved}
+    n_pad = None
+    if all(v is not None for v in counts.values()):
+        n_pad = ((max(1, max(counts.values())) + 127) // 128) * 128
+    i_pad = 2 * blk
+
+    num_good = 0
+    done = 0
+    for (ba, bb), bucket_pairs in sorted(buckets.items()):
+        ids = blocks[ba] if ba == bb else blocks[ba] + blocks[bb]
+        num_good += _match_resident(
+            db, ids, bucket_pairs, max_ratio, max_distance, cross_check,
+            min_num_matches, chunk, verbose, n_pad=n_pad, i_pad=i_pad,
+            progress_offset=done, progress_total=len(todo))
+        done += len(bucket_pairs)
     db.commit()
     return num_good
 

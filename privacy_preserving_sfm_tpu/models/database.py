@@ -171,6 +171,12 @@ class Database:
         r, c, blob = row
         return np.frombuffer(blob, np.uint8).reshape(r, c).copy()
 
+    def count_descriptors(self, image_id: int) -> int:
+        row = self.conn.execute(
+            "SELECT rows FROM descriptors WHERE image_id = ?;",
+            (image_id,)).fetchone()
+        return 0 if row is None else int(row[0])
+
     def exists_descriptors(self, image_id: int) -> bool:
         return self.conn.execute(
             "SELECT 1 FROM descriptors WHERE image_id = ?;",

@@ -40,39 +40,68 @@ class DenseBAProblem(NamedTuple):
     obs_weight: jax.Array  # (P, K) float, 0 = padding
     cam_dof_mask: jax.Array  # (C, 6)
     point_mask: jax.Array  # (P,)
+    cam_gather: jax.Array  # (C, M) int32: flat (P*K) indices per camera
+    cam_gather_mask: jax.Array  # (C, M) float, 0 = padding
 
 
 def from_flat_problem(problem: ba_mod.BAProblem,
-                      k_bucket: int = 8) -> DenseBAProblem:
-    """Convert a flat BAProblem to dense per-point blocks (host-side)."""
+                      k_bucket: int = 8,
+                      m_bucket: int = 64) -> DenseBAProblem:
+    """Convert a flat BAProblem to dense per-point blocks (host-side).
+
+    Builds BOTH layouts of the observation set: per-point (P, K) blocks for
+    scatter-free point elimination, and a per-camera gather table (C, M)
+    over the flattened (P*K) axis so camera-bin reductions are dense
+    gather+sum instead of one-hot matmuls (which waste a factor C of MXU
+    FLOPs) or scatters (latency-bound).  Fully vectorized numpy.
+    """
     obs_point = np.asarray(problem.obs_point)
     obs_cam = np.asarray(problem.obs_cam)
     obs_line = np.asarray(problem.obs_line)
     obs_weight = np.asarray(problem.obs_weight)
     P = problem.points3d.shape[0]
+    C = problem.qvecs.shape[0]
 
-    counts = np.zeros(P, np.int64)
     valid = obs_weight > 0
-    for p in obs_point[valid]:
-        counts[p] += 1
+    counts = np.bincount(obs_point[valid], minlength=P)
     K = int(max(1, counts.max()))
     K = max(K, k_bucket)
     while k_bucket < K:
         k_bucket *= 2
     K = k_bucket
 
+    # Per-point slots: stable sort by point, position within group.
+    vidx = np.nonzero(valid)[0]
+    vp = obs_point[vidx]
+    order = np.argsort(vp, kind="stable")
+    vidx, vp = vidx[order], vp[order]
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    kslot = np.arange(len(vidx)) - start[vp]
+
     cam_idx = np.zeros((P, K), np.int32)
     lines = np.zeros((P, K, 3))
     lines[..., 0] = 1.0
     weight = np.zeros((P, K))
-    fill = np.zeros(P, np.int64)
-    for o in np.nonzero(valid)[0]:
-        p = obs_point[o]
-        k = fill[p]
-        cam_idx[p, k] = obs_cam[o]
-        lines[p, k] = obs_line[o]
-        weight[p, k] = obs_weight[o]
-        fill[p] += 1
+    cam_idx[vp, kslot] = obs_cam[vidx]
+    lines[vp, kslot] = obs_line[vidx]
+    weight[vp, kslot] = obs_weight[vidx]
+
+    # Per-camera gather over the flat (P*K) axis.
+    flat_idx = vp * K + kslot
+    vc = obs_cam[vidx]
+    ccounts = np.bincount(vc, minlength=C)
+    M = int(max(1, ccounts.max()))
+    m = m_bucket
+    while m < M:
+        m *= 2
+    M = m
+    corder = np.argsort(vc, kind="stable")
+    cstart = np.concatenate([[0], np.cumsum(ccounts)[:-1]])
+    mslot = np.arange(len(vidx)) - cstart[vc[corder]]
+    cam_gather = np.zeros((C, M), np.int32)
+    cam_gather_mask = np.zeros((C, M))
+    cam_gather[vc[corder], mslot] = flat_idx[corder]
+    cam_gather_mask[vc[corder], mslot] = 1.0
 
     return DenseBAProblem(
         qvecs=problem.qvecs, tvecs=problem.tvecs,
@@ -80,7 +109,10 @@ def from_flat_problem(problem: ba_mod.BAProblem,
         obs_cam=jnp.asarray(cam_idx),
         obs_line=jnp.asarray(lines, problem.obs_line.dtype),
         obs_weight=jnp.asarray(weight, problem.obs_weight.dtype),
-        cam_dof_mask=problem.cam_dof_mask, point_mask=problem.point_mask)
+        cam_dof_mask=problem.cam_dof_mask, point_mask=problem.point_mask,
+        cam_gather=jnp.asarray(cam_gather),
+        cam_gather_mask=jnp.asarray(cam_gather_mask,
+                                    problem.obs_weight.dtype))
 
 
 def _residuals_and_jacobians(problem: DenseBAProblem, qvecs, tvecs, points,
@@ -137,18 +169,19 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
     dtype = problem.points3d.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
-    oc_flat = problem.obs_cam.reshape(-1)  # (P*K,)
-    # Camera-bin reductions as one-hot matmuls: scatters are latency-bound
-    # on TPU, while a (C, P*K) @ (P*K, n) contraction rides the MXU.
-    onehot = jax.nn.one_hot(oc_flat, C, dtype=dtype)  # (P*K, C)
+    # Camera-bin reductions as dense per-camera gathers: round 1 used a
+    # one-hot (C, P*K) matmul, which wastes a factor C of MXU FLOPs (the
+    # one-hot density is 1/C).  Gather + masked sum touches each
+    # observation exactly once.
+    cam_gather = problem.cam_gather  # (C, M)
+    cam_gather_mask = problem.cam_gather_mask  # (C, M)
 
     def cam_reduce(blocks_flat):
-        """(P*K, ...) -> (C, ...) via MXU contraction."""
-        flat2 = blocks_flat.reshape(blocks_flat.shape[0], -1)
-        out = jax.lax.dot_general(
-            onehot, flat2, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype)
-        return out.reshape((C,) + blocks_flat.shape[1:])
+        """(P*K, ...) -> (C, ...) via per-camera gather + masked sum."""
+        g = blocks_flat[cam_gather]  # (C, M, ...)
+        mask = cam_gather_mask.reshape(
+            cam_gather.shape + (1,) * (blocks_flat.ndim - 1))
+        return jnp.sum(g * mask, axis=1)
 
     def build_normal(qvecs, tvecs, points):
         r, Jc, Jp = _residuals_and_jacobians(problem, qvecs, tvecs, points,

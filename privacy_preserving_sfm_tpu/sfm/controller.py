@@ -151,7 +151,9 @@ class IncrementalMapperController:
             report = mapper.adjust_local_bundle(
                 self.options.mapper, ba_options, self.options.triangulation,
                 image_id, set(mapper.triangulator.modified_point3d_ids))
-            num_adjusted = max(1, mapper.rec.num_observations())
+            # Reference denominator: observations of the adjusted bundle
+            # (controllers/incremental_mapper.cc:86-90), not the full model.
+            num_adjusted = max(1, report.get("adjusted", 0))
             changed = (report["merged"] + report["completed"]
                        + report["filtered"]) / num_adjusted
             if changed < self.options.ba_local_max_refinement_change:
@@ -160,16 +162,22 @@ class IncrementalMapperController:
             ba_options = ba_options._replace(loss="trivial")
         mapper.triangulator.modified_point3d_ids.clear()
 
+    def _global_ba_options(self, mapper: IncrementalMapper):
+        """Global BA options with the <10-registered-images strictness of
+        the reference applied at EVERY AdjustGlobalBundle call site
+        (controllers/incremental_mapper.cc:55-66)."""
+        ba_options = self.options.global_ba_options()
+        if mapper.rec.num_registered() < 10:
+            ba_options = ba_options._replace(
+                max_iterations=ba_options.max_iterations * 2,
+                function_tolerance=ba_options.function_tolerance / 10)
+        return ba_options
+
     def iterative_global_refinement(self, mapper: IncrementalMapper):
         self._complete_and_merge(mapper)
         for i in range(self.options.ba_global_max_refinements):
             num_obs = max(1, mapper.rec.num_observations())
-            ba_options = self.options.global_ba_options()
-            if mapper.rec.num_registered() < 10:
-                # Stricter convergence for the first images (:57-66).
-                ba_options = ba_options._replace(
-                    max_iterations=ba_options.max_iterations * 2,
-                    function_tolerance=ba_options.function_tolerance / 10)
+            ba_options = self._global_ba_options(mapper)
             mapper.adjust_global_bundle(self.options.mapper, ba_options)
             changed = self._complete_and_merge(mapper)
             changed += mapper.filter_points(self.options.mapper)
@@ -217,6 +225,10 @@ class IncrementalMapperController:
     # -- main reconstruction loop ---------------------------------------
 
     def reconstruct(self, init_mapper_options: MapperOptions):
+        # ONE mapper across all model attempts: its cross-model
+        # registration counts drive the max_model_overlap bound and the
+        # all-images-covered stop (``controllers/incremental_mapper.cc:
+        # 388-390,536-540,585-589``).
         mapper = IncrementalMapper(self.database_cache)
 
         for num_trials in range(self.options.init_num_trials):
@@ -228,7 +240,6 @@ class IncrementalMapperController:
             rec.reg_image_ids = []
             if num_trials == 0 and self.input_reconstruction is not None:
                 self._seed_from_input(rec, self.input_reconstruction)
-            mapper = IncrementalMapper(self.database_cache)
             mapper.begin_reconstruction(rec)
             init_mapper_options.seed = (init_mapper_options.seed or 0) \
                 + num_trials
@@ -239,16 +250,18 @@ class IncrementalMapperController:
                                init_mapper_options, self.aligned_cache))
             if not init_ok:
                 self._log("  => Initialization failed.")
+                mapper.end_reconstruction(discard=True)
                 break
 
             self._log(f"  => Initialized with images "
                       f"{rec.reg_image_ids} ({len(rec.points3d)} points)")
             mapper.adjust_global_bundle(self.options.mapper,
-                                        self.options.global_ba_options())
+                                        self._global_ba_options(mapper))
             mapper.filter_points(self.options.mapper)
             mapper.filter_images(self.options.mapper)
 
             if rec.num_registered() == 0 or len(rec.points3d) == 0:
+                mapper.end_reconstruction(discard=True)
                 continue
 
             ba_prev_num_reg = rec.num_registered()
@@ -299,6 +312,12 @@ class IncrementalMapperController:
                                 self.options.min_model_size):
                             break
 
+                # Bound the overlap of this model with previous models
+                # (``controllers/incremental_mapper.cc:536-540``).
+                if mapper.num_shared_reg_images >= \
+                        self.options.max_model_overlap:
+                    break
+
                 # One global refinement rescue before giving up.
                 if not reg_next_success and prev_reg_next_success:
                     reg_next_success = True
@@ -317,16 +336,16 @@ class IncrementalMapperController:
 
             min_model_size = min(len(self.database_cache.images),
                                  self.options.min_model_size)
-            if (self.options.multiple_models
-                    and rec.num_registered() < min_model_size) \
-                    or rec.num_registered() == 0:
-                pass  # discard
-            else:
+            discard = (self.options.multiple_models
+                       and rec.num_registered() < min_model_size) \
+                or rec.num_registered() == 0
+            mapper.end_reconstruction(discard)
+            if not discard:
                 self.reconstructions.append(rec)
 
             if (not self.options.multiple_models
                     or len(self.reconstructions) >= self.options.max_num_models
-                    or sum(r.num_registered() for r in self.reconstructions)
+                    or mapper.num_total_reg_images
                     >= len(self.database_cache.images) - 1):
                 break
         return self.reconstructions

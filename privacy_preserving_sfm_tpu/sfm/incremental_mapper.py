@@ -72,6 +72,12 @@ class IncrementalMapper:
         self.filtered_images: Set[int] = set()
         self.existing_image_ids: Set[int] = set()
         self.num_reg_images_per_camera: Dict[int, int] = {}
+        # Cross-model bookkeeping (persists over begin/end_reconstruction;
+        # ``incremental_mapper.cc:95-135,1160-1191``): how often each image
+        # has been registered across ALL models of this mapper.
+        self.num_registrations: Dict[int, int] = {}
+        self.num_total_reg_images = 0
+        self.num_shared_reg_images = 0
         self._rng = np.random.default_rng(0)
         self._jit_pose = {}
         self._jit_init = {}
@@ -80,18 +86,51 @@ class IncrementalMapper:
     # -- lifecycle -------------------------------------------------------
 
     def begin_reconstruction(self, rec: Reconstruction):
+        """``BeginReconstruction``: per-model state reset, replay of
+        register events for resumed images (``incremental_mapper.cc:102-122``)."""
+        assert self.rec is None, "end_reconstruction the previous model first"
         self.rec = rec
         self.view = getattr(self.cache, "view", None)
         self.triangulator = IncrementalTriangulator(self.cache.graph, rec,
                                                     view=self.view)
+        self.num_shared_reg_images = 0
+        self.num_reg_images_per_camera = {}
+        self.existing_image_ids = set(rec.reg_image_ids)
+        self.filtered_images = set()
+        self.num_reg_trials = {}
         for iid in rec.reg_image_ids:
-            self.existing_image_ids.add(iid)
             self._register_image_event(iid)
+
+    def end_reconstruction(self, discard: bool):
+        """``EndReconstruction`` (``incremental_mapper.cc:124-135``)."""
+        assert self.rec is not None
+        if discard:
+            for iid in list(self.rec.reg_image_ids):
+                self._deregister_image_event(iid)
+        self.rec = None
+        self.triangulator = None
 
     def _register_image_event(self, image_id: int):
         cam_id = self.rec.images[image_id].camera_id
         self.num_reg_images_per_camera[cam_id] = \
             self.num_reg_images_per_camera.get(cam_id, 0) + 1
+        n = self.num_registrations.get(image_id, 0) + 1
+        self.num_registrations[image_id] = n
+        if n == 1:
+            self.num_total_reg_images += 1
+        else:
+            self.num_shared_reg_images += 1
+
+    def _deregister_image_event(self, image_id: int):
+        cam_id = self.rec.images[image_id].camera_id
+        self.num_reg_images_per_camera[cam_id] = \
+            self.num_reg_images_per_camera.get(cam_id, 1) - 1
+        n = self.num_registrations.get(image_id, 1) - 1
+        self.num_registrations[image_id] = n
+        if n == 0:
+            self.num_total_reg_images -= 1
+        else:
+            self.num_shared_reg_images -= 1
 
     # -- initialization --------------------------------------------------
 
@@ -103,8 +142,16 @@ class IncrementalMapper:
         image_ids = sorted(aligned_cache.images.keys())
         if len(image_ids) < 4:
             return False
-        num_check = min(10, len(image_ids))
-        check_ids = self._rng.choice(image_ids, num_check, replace=False)
+        # Prefer seed images not yet covered by ANY previous model: keeps
+        # successive models exploring new parts of the image collection
+        # instead of re-reconstructing the same sub-scene (the reference
+        # only bounds per-model overlap, ``incremental_mapper.h:59-60``;
+        # seeding from unseen images is our multi-model extension).
+        unseen = [iid for iid in image_ids
+                  if self.num_registrations.get(iid, 0) == 0]
+        seed_pool = unseen if len(unseen) >= 4 else image_ids
+        num_check = min(10, len(seed_pool))
+        check_ids = self._rng.choice(seed_pool, num_check, replace=False)
 
         all_aligned: Dict[Tuple, Set[Tuple]] = {}
         all_unaligned: Dict[Tuple, Set[Tuple]] = {}
@@ -316,12 +363,24 @@ class IncrementalMapper:
 
         # 2D-3D correspondence search (transitivity 1), vectorized over the
         # CSR view: unique (line, point3D) pairs among registered neighbors.
+        from privacy_preserving_sfm_tpu.ops import cameras as cam_ops
+
+        def _corr_cam_ok(other) -> bool:
+            """Reference skips correspondences from images with bogus
+            cameras (``incremental_mapper.cc:631-637``)."""
+            c = self.rec.cameras[other.camera_id]
+            return not cam_ops.has_bogus_params(
+                c.model, c.params, c.width, c.height,
+                options.min_focal_length_ratio,
+                options.max_focal_length_ratio, options.max_extra_param)
+
         view = self.view
         if view is not None and image_id in view.dense:
             reg = np.zeros(len(view.image_ids), bool)
             for d, iid in enumerate(view.image_ids):
                 other = self.rec.images.get(iid)
-                reg[d] = other is not None and other.registered
+                reg[d] = (other is not None and other.registered
+                          and _corr_cam_ok(other))
             pid_flat = view.concat_per_image(
                 lambda iid: self.rec.images[iid].point3d_ids
                 if iid in self.rec.images
@@ -339,7 +398,8 @@ class IncrementalMapper:
                 for iid, li in self.cache.graph.find_correspondences(
                         image_id, line_idx):
                     other = self.rec.images.get(iid)
-                    if other is None or not other.registered:
+                    if other is None or not other.registered \
+                            or not _corr_cam_ok(other):
                         continue
                     pid = int(other.point3d_ids[li])
                     if pid < 0 or pid in pt_ids_here:
@@ -367,12 +427,31 @@ class IncrementalMapper:
         valid[:len(tri_corrs)] = True
 
         thresh = cam.image_to_world_threshold(options.abs_pose_max_error)
-        key = jax.random.PRNGKey(
-            int(self._rng.integers(0, 2 ** 31)))
-        res = self._pose_kernel(n, options.num_hypotheses)(
-            key, jnp.asarray(lines_p), jnp.asarray(aligned_p),
-            jnp.asarray(points_p), jnp.asarray(valid), thresh)
-        if not bool(res.success):
+        # Adaptive termination between fixed-size hypothesis batches
+        # (``ransac.h:158-176`` bound, 100..10000 trials at conf 0.99999,
+        # ``incremental_mapper.cc:679-681``): the common high-inlier case
+        # stops after the first (smaller) batch.
+        from privacy_preserving_sfm_tpu.solvers import ransac as ransac_mod
+        schedule = (max(256, options.num_hypotheses // 4),
+                    options.num_hypotheses, options.num_hypotheses)
+        num_valid = int(valid.sum())
+        res = None
+        total_trials = 0
+        for nh in schedule:
+            key = jax.random.PRNGKey(int(self._rng.integers(0, 2 ** 31)))
+            r = self._pose_kernel(n, nh)(
+                key, jnp.asarray(lines_p), jnp.asarray(aligned_p),
+                jnp.asarray(points_p), jnp.asarray(valid), thresh)
+            total_trials += nh
+            if bool(r.success) and (res is None or
+                                    int(r.num_inliers) > int(res.num_inliers)):
+                res = r
+            if res is not None:
+                needed = float(ransac_mod.num_trials_needed(
+                    int(res.num_inliers), num_valid, 6))
+                if total_trials >= min(needed, 10000):
+                    break
+        if res is None or not bool(res.success):
             return False
         if int(res.num_inliers) < options.abs_pose_min_num_inliers:
             return False
@@ -517,7 +596,8 @@ class IncrementalMapper:
                             tri_options: TriangulatorOptions,
                             image_id: int,
                             point3d_ids: Set[int]) -> Dict[str, int]:
-        report = {"merged": 0, "completed": 0, "filtered": 0}
+        report = {"merged": 0, "completed": 0, "filtered": 0,
+                  "adjusted": 0}
         local_bundle = self.find_local_bundle(options, image_id)
         if local_bundle:
             config_images = [image_id] + local_bundle
@@ -536,8 +616,9 @@ class IncrementalMapper:
                     or len(self.rec.points3d[pid].track) <= 15)}
             import time as _time
             _t0 = _time.perf_counter()
-            self._run_ba(config_images, const_pose, const_tvec_x,
-                         variable_points, ba_options)
+            _, report["adjusted"] = self._run_ba(
+                config_images, const_pose, const_tvec_x,
+                variable_points, ba_options)
             _t1 = _time.perf_counter()
             report["merged"] = self.triangulator.merge_tracks(
                 tri_options, variable_points)
@@ -577,7 +658,8 @@ class IncrementalMapper:
         self.rec.filter_observations_with_negative_depth()
         const_pose = {reg[0]}
         const_tvec_x = {reg[1]}
-        ok = self._run_ba(reg, const_pose, const_tvec_x, None, ba_options)
+        ok, _ = self._run_ba(reg, const_pose, const_tvec_x, None,
+                             ba_options)
         self.rec.normalize()
         return ok
 
@@ -618,7 +700,7 @@ class IncrementalMapper:
                         obs.append((iid, li, pid))
 
         if len(obs) < 6 or len(point_ids) == 0:
-            return False
+            return False, 0
 
         cam_list = list(config_images) + extra_images
         cam_index = {iid: i for i, iid in enumerate(cam_list)}
@@ -687,7 +769,7 @@ class IncrementalMapper:
         q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
         if not (np.isfinite(q).all() and np.isfinite(t).all()
                 and np.isfinite(X).all()):
-            return False
+            return False, len(obs)
         for i, iid in enumerate(cam_list):
             if dof_mask[i].any():
                 self.rec.images[iid].qvec = q[i]
@@ -695,7 +777,7 @@ class IncrementalMapper:
         for pid, slot in point_index.items():
             if point_mask[slot] > 0:
                 self.rec.points3d[pid].xyz = X[slot]
-        return True
+        return True, len(obs)
 
     # -- filtering -------------------------------------------------------
 
@@ -705,6 +787,8 @@ class IncrementalMapper:
         filtered = self.rec.filter_images(
             options.min_focal_length_ratio, options.max_focal_length_ratio,
             options.max_extra_param)
+        for iid in filtered:
+            self._deregister_image_event(iid)
         self.filtered_images.update(filtered)
         return len(filtered)
 

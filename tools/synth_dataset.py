@@ -51,9 +51,18 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
                   [0, 0, 1.0]])
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
 
+    # Camera arc: centers spread wide relative to scene depth, AIMED at the
+    # plane center so every view keeps it in frame.  The spread matters:
+    # the initializer's mean-min-tri-angle gate (2 deg) needs adjacent-view
+    # baselines of >= ~3.5% of depth (atan(spread/(n-1)/z0)), which a
+    # narrow arc of 50 views fails.
+    spread = 10.0
     gt_lines = []
     for i in range(num_images):
-        yaw = -0.25 + 0.5 * i / max(1, num_images - 1)
+        frac = i / max(1, num_images - 1)
+        C = np.array([spread * (frac - 0.5),
+                      rng.uniform(-0.15, 0.15), rng.uniform(-0.3, 0.3)])
+        yaw = np.arctan2(C[0], z0)  # aim the optical axis at (0, 0, z0)
         q_yaw = np.array([np.cos(yaw / 2), 0, np.sin(yaw / 2), 0])
         ax = rng.standard_normal(3) * 0.03
         ang = np.linalg.norm(ax) + 1e-12
@@ -61,15 +70,10 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
                                  np.sin(ang / 2) * ax / ang])
         q = np.asarray(lie.quat_multiply(jnp.asarray(q_tilt),
                                          jnp.asarray(q_yaw)))
-        t = np.array([-1.2 + 2.4 * i / max(1, num_images - 1),
-                      rng.uniform(-0.15, 0.15), rng.uniform(-0.3, 0.3)])
         R = np.asarray(lie.quat_to_rotmat(jnp.asarray(q)))
-        # Homography texture -> image: K (R M + t e3^T(on plane hom coords)).
-        P = R @ M
-        P[:, 2] += t  # plane hom coord w = 1 contributes t
-        H = K @ P @ T  # wait: careful—see below
-        # Correct composition: world point X = M [u, v, 1]^T; camera
-        # x ~ K (R X + t) = K (R M [u,v,1]^T + t [0,0,1][u,v,1]^T)
+        t = -R @ C
+        # Homography texture -> image: world point X = M [u, v, 1]^T, so
+        # x ~ K (R X + t) = K (R M + t [0,0,1]) [u,v,1]^T.
         H = K @ (R @ M + t[:, None] @ np.array([[0.0, 0.0, 1.0]])) @ T
 
         img = cv2.warpPerspective(tex, H, (width, height),
