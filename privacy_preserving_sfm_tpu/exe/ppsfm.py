@@ -78,16 +78,28 @@ def cmd_feature_extractor(args):
             if name in existing:
                 iid = existing[name]
             else:
-                iid = db.write_image(name, camera_ids[cam_key])
+                # EXIF GPS (or .gps.txt sidecar) -> image prior position
+                # (image_reader.cc:252-259).
+                gps = extraction.read_exif_gps(path)
+                iid = db.write_image(name, camera_ids[cam_key],
+                                     prior_t=gps)
             if db.exists_lines(iid) and db.exists_descriptors(iid):
                 continue
+
+            mask = extraction.read_mask(path)
+            mask_r = None
+            if mask is not None:
+                mask_r = np.asarray(jax.image.resize(
+                    jnp.asarray(mask, jnp.float32), img_r.shape,
+                    "nearest")) > 0.5
+                mask_r = jnp.asarray(mask_r)
 
             key, k1 = jax.random.split(key)
             lf = extraction.extract_and_lift(
                 k1, jnp.asarray(img_r, jnp.float32), model,
                 jnp.asarray(params_scaled, jnp.float32),
                 jnp.asarray(gravity, jnp.float32), sift_opts,
-                args.aligned_line_ratio)
+                args.aligned_line_ratio, mask=mask_r)
             valid = np.asarray(lf.valid)
             db.write_descriptors(iid, np.asarray(lf.descriptors)[valid])
             db.write_lines(iid, np.asarray(lf.lines)[valid],
@@ -146,6 +158,19 @@ def cmd_spatial_matcher(args):
         ).fetchall()
         positions = {r[0]: np.asarray(r[1:4], float) for r in rows
                      if r[1] is not None}
+        if getattr(args, "is_gps", True) and positions:
+            # Priors are EXIF (lat, lon, alt): convert to metric ENU
+            # around the first image (matching.h:331-360 semantics).
+            from privacy_preserving_sfm_tpu.utils import gps as gps_mod
+            keys_sorted = sorted(positions)
+            lats = np.asarray([positions[k][0] for k in keys_sorted])
+            lons = np.asarray([positions[k][1] for k in keys_sorted])
+            alts = np.asarray([positions[k][2] for k in keys_sorted])
+            if np.all(np.abs(lats) <= 90) and np.all(np.abs(lons) <= 180):
+                enu = gps_mod.ell_to_enu(lats, lons, alts,
+                                         lats[0], lons[0], alts[0])
+                positions = {k: np.asarray(enu)[i]
+                             for i, k in enumerate(keys_sorted)}
         ids = sorted(db.read_images().keys())
         pairs = schedulers.spatial_pairs(
             ids, positions, args.max_num_neighbors, args.max_distance)
@@ -175,10 +200,51 @@ def cmd_transitive_matcher(args):
     timer.print_minutes()
 
 
-def cmd_matches_importer(args):
-    """Match an explicit image-pair list file (ImagePairsFeatureMatcher).
+def _import_raw_feature_pairs(db, match_list_path: str) -> int:
+    """FeaturePairsFeatureMatcher (``matching.cc:995-1087``): blocks of
 
-    The list file has one "name1 name2" pair per line.
+        name1 name2
+        idx1 idx2
+        ...
+        <blank line>
+
+    write explicit feature-index matches straight to the database.
+    """
+    images = db.read_images()
+    by_name = {v["name"]: k for k, v in images.items()}
+    num_pairs = 0
+    with open(match_list_path) as f:
+        lines = iter(f)
+        for line in lines:
+            header = line.split()
+            if not header:
+                continue
+            assert len(header) == 2, f"bad pair header: {line!r}"
+            name1, name2 = header
+            matches = []
+            for mline in lines:
+                parts = mline.split()
+                if not parts:
+                    break
+                matches.append((int(parts[0]), int(parts[1])))
+            if name1 not in by_name or name2 not in by_name:
+                print(f"SKIP: {name1} - {name2} (not in database)")
+                continue
+            id1, id2 = by_name[name1], by_name[name2]
+            if db.exists_matches(id1, id2):
+                print(f"SKIP: {name1} - {name2} (matches exist)")
+                continue
+            db.write_matches(id1, id2,
+                             np.asarray(matches, np.uint32).reshape(-1, 2))
+            num_pairs += 1
+    db.commit()
+    return num_pairs
+
+
+def cmd_matches_importer(args):
+    """Match an explicit image-pair list (``ImagePairsFeatureMatcher``) or
+    import raw feature-index matches (``FeaturePairsFeatureMatcher``,
+    ``--match_type raw``).
     """
     from privacy_preserving_sfm_tpu.features import schedulers
     from privacy_preserving_sfm_tpu.models.database import Database
@@ -186,6 +252,12 @@ def cmd_matches_importer(args):
 
     print_heading1("Importing image pair matches")
     timer = Timer()
+    if getattr(args, "match_type", "pairs") == "raw":
+        with Database(args.database_path) as db:
+            n = _import_raw_feature_pairs(db, args.match_list_path)
+            print(f"  => imported {n} pairs")
+        timer.print_minutes()
+        return
     with Database(args.database_path) as db:
         images = db.read_images()
         by_name = {v["name"]: k for k, v in images.items()}
@@ -372,6 +444,8 @@ def main(argv=None):
     p.add_argument("--min_num_matches", type=int, default=15)
     p.add_argument("--max_num_neighbors", type=int, default=50)
     p.add_argument("--max_distance", type=float, default=100.0)
+    p.add_argument("--is_gps", type=int, default=1,
+                   help="priors are EXIF lat/lon/alt; convert to ENU")
     p.set_defaults(func=cmd_spatial_matcher)
 
     p = sub.add_parser("transitive_matcher")
@@ -384,6 +458,8 @@ def main(argv=None):
     _add_db_arg(p)
     p.add_argument("--match_list_path", required=True)
     p.add_argument("--min_num_matches", type=int, default=15)
+    p.add_argument("--match_type", choices=["pairs", "raw"],
+                   default="pairs")
     p.set_defaults(func=cmd_matches_importer)
 
     p = sub.add_parser("mapper")

@@ -77,6 +77,60 @@ def read_camera_model_file(image_path: str):
     return name, params
 
 
+def read_exif_gps(image_path: str) -> Optional[np.ndarray]:
+    """EXIF GPS position (lat deg, lon deg, alt m) of an image, or None.
+
+    Mirror of ``Bitmap::ExifLatitude/Longitude/Altitude`` feeding the image
+    prior position (``image_reader.cc:252-259``).  A ``<image>.gps.txt``
+    sidecar (same 3 numbers) takes precedence — rendered datasets carry no
+    EXIF.
+    """
+    sidecar = image_path + ".gps.txt"
+    if os.path.exists(sidecar):
+        vals = np.loadtxt(sidecar).reshape(-1)
+        assert vals.shape[0] == 3, f"bad gps file {sidecar}"
+        return vals.astype(np.float64)
+    try:
+        from PIL import ExifTags, Image
+
+        with Image.open(image_path) as im:
+            exif = im.getexif()
+            gps = exif.get_ifd(ExifTags.IFD.GPSInfo)
+    except Exception:
+        return None
+    if not gps:
+        return None
+
+    def dms(vals, ref, neg_ref):
+        d = float(vals[0]) + float(vals[1]) / 60 + float(vals[2]) / 3600
+        return -d if ref == neg_ref else d
+
+    try:
+        lat = dms(gps[2], gps.get(1, "N"), "S")
+        lon = dms(gps[4], gps.get(3, "E"), "W")
+        alt = float(gps.get(6, 0.0))
+        if gps.get(5, 0) == 1:  # below sea level
+            alt = -alt
+        return np.asarray([lat, lon, alt], np.float64)
+    except (KeyError, IndexError, TypeError):
+        return None
+
+
+def read_mask(image_path: str) -> Optional[np.ndarray]:
+    """Per-image feature mask ``<image>.mask.png`` (bool, True = keep).
+
+    Reference semantics (``image_reader.cc:42-50``): zero-valued mask
+    pixels discard the features extracted there.
+    """
+    path = image_path + ".mask.png"
+    if not os.path.exists(path):
+        return None
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L")) > 0
+
+
 def resize_to_max(image: np.ndarray, max_size: int):
     """Downscale so max(H, W) <= max_size; returns (image, scale factor).
 
@@ -141,9 +195,21 @@ def extract_and_lift(
     gravity: jax.Array,
     sift_options: sift_mod.SiftOptions = sift_mod.SiftOptions(),
     aligned_ratio: float = 0.5,
+    mask: Optional[jax.Array] = None,
 ) -> LiftedFeatures:
-    """Full per-image front-end: SIFT + aligned split + line lift (jittable)."""
+    """Full per-image front-end: SIFT + aligned split + line lift (jittable).
+
+    ``mask`` (H, W) bool, resized to the working image: keypoints on False
+    pixels are dropped (``image_reader.cc:42-50`` semantics).
+    """
     k_sift, k_lift = jax.random.split(key)
     feats = sift_mod.extract_sift(image, sift_options)
+    if mask is not None:
+        h, w = image.shape
+        xi = jnp.clip(jnp.round(feats.keypoints[:, 0]).astype(jnp.int32),
+                      0, w - 1)
+        yi = jnp.clip(jnp.round(feats.keypoints[:, 1]).astype(jnp.int32),
+                      0, h - 1)
+        feats = feats._replace(valid=feats.valid & mask[yi, xi])
     return lift_features(k_lift, feats, camera_model, camera_params, gravity,
                          aligned_ratio)

@@ -159,8 +159,9 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     cand = (is_max | is_min) & strong & inside
     score = jnp.where(cand, jnp.abs(center), 0.0)
 
-    K = opts.candidates_per_octave
     flat_score = score.reshape(-1)
+    # Tiny octaves of small images can hold fewer pixels than the budget.
+    K = min(opts.candidates_per_octave, flat_score.shape[0])
     top_scores, top_idx = jax.lax.top_k(flat_score, K)
     valid = top_scores > 0.0
     lev = top_idx // (h * w) + 1  # DoG level index (1..S)
