@@ -66,6 +66,7 @@ def _match_resident(db: Database, image_ids: Sequence[int],
                     todo: Sequence[Tuple[int, int]],
                     max_ratio: float, max_distance: float, cross_check: bool,
                     min_num_matches: int, chunk: int, verbose: bool,
+                    max_num_matches: int = 32768,
                     n_pad: Optional[int] = None,
                     i_pad: Optional[int] = None,
                     progress_offset: int = 0,
@@ -94,6 +95,7 @@ def _match_resident(db: Database, image_ids: Sequence[int],
                 out = np.zeros((0, 2), np.uint32)  # zeroed pair
             else:
                 out = np.stack([rows, idx2[rows]], 1).astype(np.uint32)
+                out = out[:max_num_matches]  # sift.h:137 cap
                 num_good += 1
             db.write_matches(a, b, out)
         if verbose:
@@ -108,7 +110,8 @@ def match_pair_list(db: Database, image_ids: Sequence[int],
                     max_ratio: float = 0.8, max_distance: float = 0.7,
                     cross_check: bool = True, min_num_matches: int = 15,
                     chunk: int = 64, verbose: bool = False,
-                    max_resident_images: Optional[int] = 256) -> int:
+                    max_resident_images: Optional[int] = 256,
+                    max_num_matches: int = 32768) -> int:
     """Match and persist a pair list; returns #pairs with >= min matches.
 
     Bounded device memory: when more than ``max_resident_images`` images
@@ -130,7 +133,8 @@ def match_pair_list(db: Database, image_ids: Sequence[int],
     if max_resident_images is None or len(involved) <= max_resident_images:
         num_good = _match_resident(
             db, involved, todo, max_ratio, max_distance, cross_check,
-            min_num_matches, chunk, verbose)
+            min_num_matches, chunk, verbose,
+            max_num_matches=max_num_matches)
         db.commit()
         return num_good
 
@@ -161,7 +165,8 @@ def match_pair_list(db: Database, image_ids: Sequence[int],
         num_good += _match_resident(
             db, ids, bucket_pairs, max_ratio, max_distance, cross_check,
             min_num_matches, chunk, verbose, n_pad=n_pad, i_pad=i_pad,
-            progress_offset=done, progress_total=len(todo))
+            progress_offset=done, progress_total=len(todo),
+            max_num_matches=max_num_matches)
         done += len(bucket_pairs)
     db.commit()
     return num_good

@@ -48,6 +48,10 @@ class SiftOptions(NamedTuple):
     candidates_per_octave: int = 2048
     sigma0: float = 1.6
     nominal_sigma: float = 0.5
+    # Feature selection under max_num_features: "scale" keeps the largest
+    # sigmas (reference ExtractTopScaleFeatures, feature.cc:79-114);
+    # "response" keeps the strongest |DoG| peaks.
+    selection: str = "scale"
 
 
 class SiftFeatures(NamedTuple):
@@ -379,12 +383,11 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
 def extract_sift(image: jax.Array, opts: SiftOptions = SiftOptions()):
     """Extract SIFT features from a grayscale image (H, W) float in [0, 1].
 
-    Returns ``SiftFeatures`` with fixed K = max_num_features rows, selected
-    by top |DoG| response across octaves; keypoint x/y/scale are in input
-    image pixels.  If more than K survive, the strongest-scale... the
-    reference keeps the *largest-scale* features (``feature.cc:79-114``);
-    here selection is by response with scale as the reference's tiebreak
-    applied at the pipeline level.
+    Returns ``SiftFeatures`` with fixed K = max_num_features rows; keypoint
+    x/y/scale are in input image pixels.  When more than K candidates
+    survive the gates, ``opts.selection`` picks which ones stay: "scale"
+    keeps the largest sigmas (the reference's ExtractTopScaleFeatures,
+    ``feature.cc:79-114``) and "response" keeps the strongest |DoG| peaks.
     """
     dtype = image.dtype
     base = image
@@ -420,7 +423,8 @@ def extract_sift(image: jax.Array, opts: SiftOptions = SiftOptions()):
     peaks = jnp.concatenate([f[6] for f in all_feats])
 
     K = opts.max_num_features
-    score = jnp.where(vals, peaks, -1.0)
+    rank = sigs if opts.selection == "scale" else peaks
+    score = jnp.where(vals, rank, -1.0)
     if score.shape[0] < K:
         pad = K - score.shape[0]
         score = jnp.pad(score, (0, pad), constant_values=-1.0)

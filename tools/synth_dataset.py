@@ -93,6 +93,14 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
     with open(os.path.join(outdir, "gt_poses.txt"), "w") as fo:
         fo.write("# name qw qx qy qz tx ty tz\n")
         fo.write("\n".join(gt_lines) + "\n")
+    # Scene metadata: lets evaluation tools rebuild the exact per-view
+    # homographies (H_i = K (R_i M + t_i e3^T) T).
+    import json
+    with open(os.path.join(outdir, "meta.json"), "w") as fo:
+        json.dump({"f": f, "width": width, "height": height,
+                   "plane_S": S, "plane_z0": z0,
+                   "plane_ax": ax_c, "plane_ay": ay_c,
+                   "tex_size": tex_size}, fo)
     return outdir
 
 
