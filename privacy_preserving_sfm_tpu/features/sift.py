@@ -52,6 +52,13 @@ class SiftOptions(NamedTuple):
     # sigmas (reference ExtractTopScaleFeatures, feature.cc:79-114);
     # "response" keeps the strongest |DoG| peaks.
     selection: str = "scale"
+    # Domain-size pooling (DSP-SIFT, sift.cc:677-726): average the
+    # descriptor over dsp_num_scales spatial extents in
+    # [dsp_min_scale, dsp_max_scale] x sigma before normalization.
+    domain_size_pooling: bool = False
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
 
 
 class SiftFeatures(NamedTuple):
@@ -375,7 +382,18 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     val_e = jnp.repeat(valid, n_ori) & ori_valid.reshape(-1)
     peak_e = jnp.repeat(peak_val, n_ori)
 
-    descs = jax.vmap(descriptor)(lev_e, xr_e, yr_e, sig_e, th_e)
+    if opts.domain_size_pooling:
+        # DSP-SIFT: mean of descriptors over pooled domain sizes (the
+        # reference scales the measurement frame, sift.cc:698-726).
+        step = (opts.dsp_max_scale - opts.dsp_min_scale) / opts.dsp_num_scales
+        pooled = [
+            jax.vmap(descriptor)(lev_e, xr_e, yr_e,
+                                 sig_e * (opts.dsp_min_scale + si * step),
+                                 th_e)
+            for si in range(opts.dsp_num_scales)]
+        descs = jnp.mean(jnp.stack(pooled), axis=0)
+    else:
+        descs = jax.vmap(descriptor)(lev_e, xr_e, yr_e, sig_e, th_e)
 
     return xr_e, yr_e, sig_e, th_e, descs, val_e, peak_e
 

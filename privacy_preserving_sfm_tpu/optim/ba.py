@@ -65,6 +65,11 @@ class BAOptions(NamedTuple):
     min_lambda: float = 1e-10
     max_lambda: float = 1e10
     function_tolerance: float = 1e-8
+    # Dense-block solver only: camera-bin reduction strategy.  "onehot"
+    # contracts (C, P*K) @ (P*K, n) on the MXU (wastes a factor C of
+    # FLOPs but measured faster on TPU v5e than "gather", the per-camera
+    # gather + masked sum).
+    cam_reduce: str = "onehot"
 
 
 class BASummary(NamedTuple):

@@ -169,19 +169,41 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
     dtype = problem.points3d.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
-    # Camera-bin reductions as dense per-camera gathers: round 1 used a
-    # one-hot (C, P*K) matmul, which wastes a factor C of MXU FLOPs (the
-    # one-hot density is 1/C).  Gather + masked sum touches each
-    # observation exactly once.
-    cam_gather = problem.cam_gather  # (C, M)
-    cam_gather_mask = problem.cam_gather_mask  # (C, M)
+    # Camera-bin reduction strategy (options.cam_reduce):
+    #   twolayout — the big per-observation tensors are REBUILT in
+    #     camera-sorted layout once per LM iteration (one big sequential
+    #     gather), so every per-CG-step reduction streams HBM
+    #     sequentially and only gathers tiny (C,6)/(P,3) tables.
+    #   onehot — (C, P*K) @ (P*K, n) MXU contraction.  Wastes a factor C
+    #     of FLOPs (one-hot density 1/C); the N=6 payload also uses only
+    #     6/128 MXU lanes.
+    #   gather — per-camera gather + masked sum per reduction; measured
+    #     slower than onehot on v5e (random-access HBM bound per CG step).
+    if options.cam_reduce == "gather":
+        def cam_reduce(blocks_flat):
+            """(P*K, ...) -> (C, ...) per-camera gather + masked sum."""
+            g = blocks_flat[problem.cam_gather]  # (C, M, ...)
+            mask = problem.cam_gather_mask.reshape(
+                problem.cam_gather.shape + (1,) * (blocks_flat.ndim - 1))
+            return jnp.sum(g * mask, axis=1)
+    elif options.cam_reduce == "twolayout":
+        cam_reduce = None  # camera reductions handled in-layout below
+    else:
+        oc_flat = problem.obs_cam.reshape(-1)  # (P*K,)
+        onehot = jax.nn.one_hot(oc_flat, C, dtype=dtype)  # (P*K, C)
 
-    def cam_reduce(blocks_flat):
-        """(P*K, ...) -> (C, ...) via per-camera gather + masked sum."""
-        g = blocks_flat[cam_gather]  # (C, M, ...)
-        mask = cam_gather_mask.reshape(
-            cam_gather.shape + (1,) * (blocks_flat.ndim - 1))
-        return jnp.sum(g * mask, axis=1)
+        def cam_reduce(blocks_flat):
+            """(P*K, ...) -> (C, ...) via MXU contraction."""
+            flat2 = blocks_flat.reshape(blocks_flat.shape[0], -1)
+            out = jax.lax.dot_general(
+                onehot, flat2, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype)
+            return out.reshape((C,) + blocks_flat.shape[1:])
+
+    twolayout = options.cam_reduce == "twolayout"
+    cam_gather = problem.cam_gather  # (C, M)
+    cam_mask = problem.cam_gather_mask  # (C, M)
+    point_of_cam = cam_gather // K  # (C, M): point index per cam slot
 
     def build_normal(qvecs, tvecs, points):
         r, Jc, Jp = _residuals_and_jacobians(problem, qvecs, tvecs, points,
@@ -189,36 +211,60 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
         sq = jnp.sum(r * r, axis=-1)
         w = (ba_mod._robust_weight(sq, options.loss, options.loss_scale)
              * problem.obs_weight)  # (P, K)
-        Hcc_o = jnp.einsum("pkri,pkrj,pk->pkij", Jc, Jc, w)
         Hpp = jnp.einsum("pkri,pkrj,pk->pij", Jp, Jp, w)  # no scatter!
         Hcp_o = jnp.einsum("pkri,pkrj,pk->pkij", Jc, Jp, w)  # (P, K, 6, 3)
-        gc_o = jnp.einsum("pkri,pkr,pk->pki", Jc, r, w)
         gp = jnp.einsum("pkri,pkr,pk->pi", Jp, r, w)  # no scatter!
-        Hcc = cam_reduce(Hcc_o.reshape(-1, 6, 6))
-        gc = cam_reduce(gc_o.reshape(-1, 6))
-        return Hcc, Hpp, Hcp_o, gc, gp
+        if twolayout:
+            # Rebuild the camera-side tensors in camera-sorted layout once
+            # per LM iteration; all camera reductions below are then plain
+            # sequential einsums over the M axis.
+            Jc_cam = Jc.reshape(-1, 2, 6)[cam_gather]  # (C, M, 2, 6)
+            r_cam = r.reshape(-1, 2)[cam_gather]
+            w_cam = w.reshape(-1)[cam_gather] * cam_mask
+            Hcc = jnp.einsum("cmri,cmrj,cm->cij", Jc_cam, Jc_cam, w_cam)
+            gc = jnp.einsum("cmri,cmr,cm->ci", Jc_cam, r_cam, w_cam)
+            Hcp_cam = Hcp_o.reshape(-1, 6, 3)[cam_gather] \
+                * cam_mask[..., None, None]  # (C, M, 6, 3)
+        else:
+            Hcc_o = jnp.einsum("pkri,pkrj,pk->pkij", Jc, Jc, w)
+            gc_o = jnp.einsum("pkri,pkr,pk->pki", Jc, r, w)
+            Hcc = cam_reduce(Hcc_o.reshape(-1, 6, 6))
+            gc = cam_reduce(gc_o.reshape(-1, 6))
+            Hcp_cam = Hcp_o[:0]  # unused placeholder
+        return Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp
 
-    def solve_step(Hcc, Hpp, Hcp_o, gc, gp, lam):
+    def solve_step(Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp, lam):
         dHcc = Hcc + lam * ba_mod._diag_embed6(
             jnp.diagonal(Hcc, axis1=-2, axis2=-1)) + 1e-12 * eye6
         dHpp = Hpp + lam * ba_mod._diag_embed3(
             jnp.diagonal(Hpp, axis1=-2, axis2=-1)) + 1e-12 * eye3
         Hpp_inv = linalg.inv3(dHpp)  # (P, 3, 3)
 
+        def cam_side_reduce(y):
+            """E y: (P, 3) point vectors -> (C, 6) camera bins."""
+            if twolayout:
+                y_cam = y[point_of_cam]  # (C, M, 3): small-table gather
+                return jnp.einsum("cmij,cmj->ci", Hcp_cam, y_cam)
+            Ey_o = jnp.einsum("pkij,pj->pki", Hcp_o, y)
+            return cam_reduce(Ey_o.reshape(-1, 6))
+
         def S_matvec(v):  # v (C, 6)
             Bv = jnp.einsum("cij,cj->ci", dHcc, v)
             v_o = v[problem.obs_cam]  # (P, K, 6)
             Etv = jnp.einsum("pkji,pkj->pi", Hcp_o, v_o)  # dense reduce
             y = jnp.einsum("pij,pj->pi", Hpp_inv, Etv)
-            Ey_o = jnp.einsum("pkij,pj->pki", Hcp_o, y)
-            return Bv - cam_reduce(Ey_o.reshape(-1, 6))
+            return Bv - cam_side_reduce(y)
 
         y0 = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        rhs = gc - cam_reduce(
-            jnp.einsum("pkij,pj->pki", Hcp_o, y0).reshape(-1, 6))
+        rhs = gc - cam_side_reduce(y0)
 
-        SJ_o = jnp.einsum("pkij,pjl,pkml->pkim", Hcp_o, Hpp_inv, Hcp_o)
-        SJ = dHcc - cam_reduce(SJ_o.reshape(-1, 6, 6))
+        if twolayout:
+            Hpp_inv_cam = Hpp_inv[point_of_cam]  # (C, M, 3, 3)
+            SJ = dHcc - jnp.einsum("cmij,cmjl,cmkl->cik", Hcp_cam,
+                                   Hpp_inv_cam, Hcp_cam)
+        else:
+            SJ_o = jnp.einsum("pkij,pjl,pkml->pkim", Hcp_o, Hpp_inv, Hcp_o)
+            SJ = dHcc - cam_reduce(SJ_o.reshape(-1, 6, 6))
         SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
 
         def precond(v):
@@ -252,8 +298,8 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
 
     def lm_body(state):
         q, t, X, lam, c, it, stall = state
-        Hcc, Hpp, Hcp_o, gc, gp = build_normal(q, t, X)
-        dc, dp = solve_step(Hcc, Hpp, Hcp_o, gc, gp, lam)
+        Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp = build_normal(q, t, X)
+        dc, dp = solve_step(Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp, lam)
         dc_m = dc * problem.cam_dof_mask
         dp_m = dp * problem.point_mask[:, None]
         q_new, t_new, X_new = ba_mod._apply_step(q, t, X, -dc_m, -dp_m)

@@ -136,3 +136,31 @@ class TestMatching:
                                         jnp.asarray(valid), pairs)
         m = np.asarray(res.matches)
         assert (m[0] == np.arange(16)).all()
+
+
+class TestDspSift:
+    def test_dsp_descriptors_match_across_shift(self):
+        """DSP-SIFT (domain-size pooling, sift.cc:677-726): pooled
+        descriptors remain valid uint8 and match across a shift."""
+        rng = np.random.default_rng(4)
+        img, _, _ = render_blob_image(rng)
+        opts = SMALL_OPTS._replace(domain_size_pooling=True,
+                                   dsp_num_scales=4)
+        shift = 6
+        img2 = np.roll(img, (0, shift), axis=(0, 1))
+        f1 = sift.extract_sift(jnp.asarray(img), opts)
+        f2 = sift.extract_sift(jnp.asarray(img2), opts)
+        d = np.asarray(f1.descriptors)[np.asarray(f1.valid)]
+        assert d.dtype == np.uint8 and len(d) >= 10
+        norms = np.linalg.norm(d.astype(np.float64), axis=-1)
+        assert np.all(norms > 300) and np.all(norms < 600)
+        res = matching.match_descriptors(f1.descriptors, f2.descriptors,
+                                         f1.valid, f2.valid)
+        idx2 = np.asarray(res.matches)
+        kp1 = np.asarray(f1.keypoints)
+        kp2 = np.asarray(f2.keypoints)
+        rows = np.nonzero(idx2 >= 0)[0]
+        assert len(rows) >= 10, f"only {len(rows)} DSP matches"
+        dx = kp2[idx2[rows], 0] - kp1[rows, 0]
+        good = np.abs(dx - shift) < 1.5
+        assert good.mean() > 0.7, f"{good.mean():.2f} shift-consistent"
