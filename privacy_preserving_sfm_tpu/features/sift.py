@@ -59,6 +59,12 @@ class SiftOptions(NamedTuple):
     dsp_min_scale: float = 1.0 / 6.0
     dsp_max_scale: float = 3.0
     dsp_num_scales: int = 10
+    # Affine shape adaptation (covariant detector,
+    # ExtractCovariantSiftFeaturesCPU via vl_covdet, sift.cc:575-745):
+    # iterate the second-moment matrix to an isotropic frame; orientation
+    # and descriptor then sample the affine-normalized patch.
+    estimate_affine_shape: bool = False
+    affine_iterations: int = 10
 
 
 class SiftFeatures(NamedTuple):
@@ -301,7 +307,80 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         return hist
 
-    hists = jax.vmap(orientation)(glev, xr, yr, sigma)  # (K, 36)
+    # --- Affine shape adaptation (optional) ----------------------------
+    if opts.estimate_affine_shape:
+        agy, agx = gy, gx  # reuse the orientation sample grid
+
+        def affine_shape(level, xc, yc, sig):
+            """Iterate A until the second-moment matrix is isotropic
+            (vl_covdet_extract_affine_shape semantics, unit determinant)."""
+            win = 3.0 * sig
+
+            def body(_, A):
+                # Sample the warped window x = c + A u * win.
+                sx = xc + (A[0, 0] * agx + A[0, 1] * agy) * win
+                sy = yc + (A[1, 0] * agx + A[1, 1] * agy) * win
+                gdx, gdy = grad_lookup(level, sy, sx)
+                # Gradient in the warped frame: g' = A^T g.
+                gu = A[0, 0] * gdx + A[1, 0] * gdy
+                gv = A[0, 1] * gdx + A[1, 1] * gdy
+                wgt = jnp.exp(-0.5 * (agx * agx + agy * agy) / (0.5 ** 2))
+                m00 = jnp.sum(wgt * gu * gu)
+                m01 = jnp.sum(wgt * gu * gv)
+                m11 = jnp.sum(wgt * gv * gv)
+                tr = m00 + m11 + 1e-20
+                m00, m01, m11 = m00 / tr, m01 / tr, m11 / tr
+                # Closed-form inverse square root of the 2x2 SPD matrix.
+                det = jnp.maximum(m00 * m11 - m01 * m01, 1e-12)
+                sdet = jnp.sqrt(det)
+                # M^{-1/2} = (M + sqrt(det) I) / sqrt(tr(M) + 2 sqrt(det))
+                # ... inverted: use W = inv(M)^{1/2} = adj(M)^{1/2}/sqrt..
+                # Direct: inv(M) = adj(M)/det; sqrt of SPD 2x2 via the
+                # same (X + sqrt(det X) I)/sqrt(tr X + 2 sqrt(det X)).
+                i00, i01, i11 = m11 / det, -m01 / det, m00 / det
+                idet = jnp.sqrt(jnp.maximum(i00 * i11 - i01 * i01, 1e-12))
+                denom = jnp.sqrt(jnp.maximum(i00 + i11 + 2 * idet, 1e-12))
+                w00 = (i00 + idet) / denom
+                w01 = i01 / denom
+                w11 = (i11 + idet) / denom
+                A_new = A @ jnp.asarray([[w00, w01], [w01, w11]], A.dtype)
+                # Renormalize to unit determinant (pure shape, no scale).
+                d = jnp.sqrt(jnp.maximum(jnp.abs(
+                    A_new[0, 0] * A_new[1, 1] - A_new[0, 1] * A_new[1, 0]),
+                    1e-12))
+                return A_new / d
+
+            A0 = jnp.eye(2, dtype=dtype)
+            return jax.lax.fori_loop(0, opts.affine_iterations, body, A0)
+
+        Ashape = jax.vmap(affine_shape)(glev, xr, yr, sigma)  # (K, 2, 2)
+    else:
+        Ashape = jnp.broadcast_to(jnp.eye(2, dtype=dtype),
+                                  (xr.shape[0], 2, 2))
+
+    def orientation_affine(level, xc, yc, sig, A):
+        win = 3.0 * 1.5 * sig
+        sx = xc + (A[0, 0] * gx + A[0, 1] * gy) * win
+        sy = yc + (A[1, 0] * gx + A[1, 1] * gy) * win
+        gdx, gdy = grad_lookup(level, sy, sx)
+        mag = jnp.sqrt(gdx * gdx + gdy * gdy)
+        wgt = jnp.exp(-0.5 * ((gx * win) ** 2 + (gy * win) ** 2)
+                      / (1.5 * sig) ** 2)
+        ang = jnp.arctan2(gdy, gdx)
+        bin_f = (ang / (2 * jnp.pi) * NB) % NB
+        b0 = jnp.floor(bin_f).astype(jnp.int32) % NB
+        fb = bin_f - jnp.floor(bin_f)
+        hist = (jnp.zeros((NB,), dtype)
+                .at[b0].add(mag * wgt * (1 - fb))
+                .at[(b0 + 1) % NB].add(mag * wgt * fb))
+        for _ in range(6):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        return hist
+
+    if opts.estimate_affine_shape:
+        hists = jax.vmap(orientation_affine)(glev, xr, yr, sigma, Ashape)
+    else:
+        hists = jax.vmap(orientation)(glev, xr, yr, sigma)  # (K, 36)
 
     # Peaks: local maxima >= 0.8 * global max; keep top max_num_orientations.
     hmax = jnp.max(hists, axis=-1, keepdims=True)
@@ -328,13 +407,15 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     dgy = dgy.reshape(-1).astype(dtype)  # in window units [-1, 1]
     dgx = dgx.reshape(-1).astype(dtype)
 
-    def descriptor(level, xc, yc, sig, th):
+    def descriptor(level, xc, yc, sig, th, A):
         magnif = 3.0
         win = magnif * sig * (NBP + 1) / 2.0  # sampling radius, octave px
         ct, st = jnp.cos(th), jnp.sin(th)
-        # Rotated sample positions.
-        rx = (ct * dgx - st * dgy) * win
-        ry = (st * dgx + ct * dgy) * win
+        # Rotated (and affine-warped, when shape-adapted) sample positions.
+        ux_r = (ct * dgx - st * dgy) * win
+        uy_r = (st * dgx + ct * dgy) * win
+        rx = A[0, 0] * ux_r + A[0, 1] * uy_r
+        ry = A[1, 0] * ux_r + A[1, 1] * uy_r
         gdx, gdy = grad_lookup(level, yc + ry, xc + rx)
         mag = jnp.sqrt(gdx * gdx + gdy * gdy)
         ang = jnp.arctan2(gdy, gdx) - th
@@ -378,6 +459,7 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     xr_e = jnp.repeat(xr, n_ori)
     yr_e = jnp.repeat(yr, n_ori)
     sig_e = jnp.repeat(sigma, n_ori)
+    A_e = jnp.repeat(Ashape, n_ori, axis=0)
     th_e = theta.reshape(-1)
     val_e = jnp.repeat(valid, n_ori) & ori_valid.reshape(-1)
     peak_e = jnp.repeat(peak_val, n_ori)
@@ -389,11 +471,11 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
         pooled = [
             jax.vmap(descriptor)(lev_e, xr_e, yr_e,
                                  sig_e * (opts.dsp_min_scale + si * step),
-                                 th_e)
+                                 th_e, A_e)
             for si in range(opts.dsp_num_scales)]
         descs = jnp.mean(jnp.stack(pooled), axis=0)
     else:
-        descs = jax.vmap(descriptor)(lev_e, xr_e, yr_e, sig_e, th_e)
+        descs = jax.vmap(descriptor)(lev_e, xr_e, yr_e, sig_e, th_e, A_e)
 
     return xr_e, yr_e, sig_e, th_e, descs, val_e, peak_e
 

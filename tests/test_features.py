@@ -164,3 +164,24 @@ class TestDspSift:
         dx = kp2[idx2[rows], 0] - kp1[rows, 0]
         good = np.abs(dx - shift) < 1.5
         assert good.mean() > 0.7, f"{good.mean():.2f} shift-consistent"
+
+
+class TestAffineSift:
+    def test_affine_adaptation_matches_under_anisotropic_stretch(self):
+        """Covariant detector (vl_covdet role, sift.cc:575-745): with
+        affine shape adaptation the descriptors stay matchable under an
+        anisotropic stretch of the image."""
+        rng = np.random.default_rng(9)
+        img, _, _ = render_blob_image(rng, h=200, w=200)
+        # 1.4x horizontal stretch (keep size by cropping).
+        import jax.image as jimage
+        stretched = np.asarray(jimage.resize(
+            jnp.asarray(img), (200, 280), "bilinear"))[:, 40:240]
+        opts = SMALL_OPTS._replace(estimate_affine_shape=True)
+        f1 = sift.extract_sift(jnp.asarray(img), opts)
+        f2 = sift.extract_sift(jnp.asarray(stretched), opts)
+        assert int(np.asarray(f1.valid).sum()) >= 10
+        res = matching.match_descriptors(f1.descriptors, f2.descriptors,
+                                         f1.valid, f2.valid)
+        n_affine = int(np.asarray(res.matches >= 0).sum())
+        assert n_affine >= 8, f"only {n_affine} affine matches"
