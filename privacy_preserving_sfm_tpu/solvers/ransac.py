@@ -100,3 +100,75 @@ def num_trials_needed(num_inliers, num_valid, sample_size: int,
     denom = jnp.log1p(-jnp.clip(ratio ** sample_size, None, 1.0 - 1e-12))
     trials = multiplier * nom / jnp.minimum(denom, -1e-300)
     return jnp.minimum(trials, max_trials)
+
+
+def prosac_prefix_sizes(num_data: int, sample_size: int,
+                        num_hypotheses: int,
+                        num_progressive: int = 200_000):
+    """Static PROSAC prefix-size schedule n_t for t = 1..B.
+
+    Host-side port of the growth function of
+    ``src/optim/progressive_sampler.cc:49-82`` (Chum & Matas eq. 3): the
+    t-th hypothesis samples from the top n_t quality-ranked
+    correspondences, growing towards plain RANSAC.  Returns a numpy int
+    array usable as a trace-time constant.
+    """
+    import numpy as np
+
+    m = sample_size
+    T_n = float(num_progressive)
+    for i in range(m):
+        T_n *= (m - i) / (num_data - i)
+    T_n_p = 1.0
+    n = m
+    out = np.zeros(num_hypotheses, np.int32)
+    for t in range(1, num_hypotheses + 1):
+        if t == int(T_n_p) and n < num_data:
+            T_n_plus_1 = T_n * (n + 1.0) / (n + 1.0 - m)
+            T_n_p += np.ceil(T_n_plus_1 - T_n)
+            T_n = T_n_plus_1
+            n += 1
+        out[t - 1] = n
+    return out
+
+
+def draw_samples_progressive(key: jax.Array, num_data: int,
+                             valid: jax.Array, sample_size: int,
+                             num_hypotheses: int,
+                             quality_rank: jax.Array) -> jax.Array:
+    """PROSAC sampling, batched: hypothesis t draws its sample from the
+    top-n_t entries of the quality ordering (best-ranked correspondences
+    first), degenerating to uniform RANSAC as t grows.
+
+    quality_rank: (N,) lower = better (e.g. descriptor match distance).
+    Distinctness within a sample via Gumbel top-k over prefix-masked
+    logits (same trick as ``draw_samples``).
+    """
+    order = jnp.argsort(jnp.where(valid, quality_rank, jnp.inf))  # (N,)
+    num_valid = jnp.sum(valid)
+    prefix = jnp.asarray(
+        prosac_prefix_sizes(num_data, sample_size, num_hypotheses))
+    prefix = jnp.minimum(prefix, num_valid)  # never sample padding
+    pos = jnp.arange(num_data)[None, :]  # position in the quality order
+    in_prefix = pos < prefix[:, None]  # (B, N)
+    g = jax.random.gumbel(key, (num_hypotheses, num_data))
+    logits = jnp.where(in_prefix, g, -jnp.inf)
+    _, pos_idx = jax.lax.top_k(logits, sample_size)  # positions in order
+    return order[pos_idx]  # (B, k) original indices
+
+
+def subset_prescreen(res_subset: jax.Array, threshold,
+                     valid_subset: jax.Array, keep: int) -> jax.Array:
+    """Batched SPRT analogue: rank hypotheses by inlier support on a
+    random residual SUBSET, return the indices of the ``keep`` best.
+
+    The reference's SPRT (``sprt.h:45-80``) aborts per-hypothesis residual
+    loops early via a likelihood-ratio test; on TPU the sequential test
+    becomes a two-stage batch: cheap subset scoring over all B hypotheses,
+    full scoring only for the shortlisted ``keep``.
+
+    res_subset: (B, n_sub) squared residuals on the probe subset.
+    """
+    score, _, _ = inlier_score(res_subset, threshold, valid_subset)
+    _, idx = jax.lax.top_k(score, keep)
+    return idx
