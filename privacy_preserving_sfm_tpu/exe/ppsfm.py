@@ -297,7 +297,13 @@ def cmd_mapper(args):
               f"({input_rec.num_registered()} images)")
     ctrl = IncrementalMapperController(opts, database_path=args.database_path,
                                        input_reconstruction=input_rec)
+    t0 = __import__("time").perf_counter()
     recs = ctrl.run()
+    mapper_wall = __import__("time").perf_counter() - t0
+    num_reg = sum(r.num_registered() for r in recs)
+    print(ctrl.profiler.report())
+    print(f"  => images registered/s: {num_reg / max(mapper_wall, 1e-9):.3f}"
+          f" ({num_reg} images in {mapper_wall:.1f}s)")
     os.makedirs(args.output_path, exist_ok=True)
     for i, rec in enumerate(recs):
         out = os.path.join(args.output_path, str(i))
