@@ -34,7 +34,6 @@ from privacy_preserving_sfm_tpu.models.correspondence_graph import (
 )
 from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
 from privacy_preserving_sfm_tpu.ops import lines as line_ops
-from privacy_preserving_sfm_tpu.sfm import kernels as sfm_kernels
 from privacy_preserving_sfm_tpu.solvers import triangulation as tri_est
 
 MAX_POOL = 24  # fixed padding for the jitted estimator
