@@ -106,11 +106,18 @@ def main():
     dense = ba_dense.from_flat_problem(problem, k_bucket=8)
     num_obs = int(problem.obs_cam.shape[0])
 
+    # (label, cam_reduce, schur_mode) — "explicit" materializes the 6Cx6C
+    # Schur system and runs the whole PCG in one fused Pallas kernel.
+    configs = [
+        ("explicit", "onehot", "explicit"),
+        ("onehot", "onehot", "implicit"),
+        ("twolayout", "twolayout", "implicit"),
+    ]
     results = {}
-    for mode in ("twolayout", "onehot"):
+    for label, cam_reduce, schur_mode in configs:
         opts = ba.BAOptions(max_iterations=LM_ITERS, cg_iterations=CG_ITERS,
                             function_tolerance=0.0,  # fixed work per solve
-                            cam_reduce=mode)
+                            cam_reduce=cam_reduce, schur_mode=schur_mode)
         step = jax.jit(lambda p, o=opts:
                        ba_dense.bundle_adjust_dense(p, "SIMPLE_PINHOLE", o))
         out = step(dense)  # warmup / compile
@@ -122,7 +129,7 @@ def main():
             out = step(dense)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
-        results[mode] = num_obs * iters_run / min(times)
+        results[label] = num_obs * iters_run / min(times)
 
     mode = max(results, key=results.get)
     value = results[mode]

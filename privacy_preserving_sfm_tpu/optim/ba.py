@@ -70,6 +70,16 @@ class BAOptions(NamedTuple):
     # FLOPs but measured faster on TPU v5e than "gather", the per-camera
     # gather + masked sum).
     cam_reduce: str = "onehot"
+    # Dense-block solver only: how to solve the reduced camera system.
+    #   "implicit" — matrix-free CG (S never materialized); the scalable
+    #     path, mirrors Ceres ITERATIVE_SCHUR.
+    #   "explicit" — materialize S (6C, 6C) with MXU contractions and run
+    #     the whole PCG in one fused Pallas kernel (VMEM-resident); the
+    #     DENSE_SCHUR regime, ~100x lower dispatch overhead for C <~ 170.
+    #   "auto" — explicit when the dense system fits in VMEM, else
+    #     implicit (the reference's size-based solver switch,
+    #     ``bundle_adjustment.cc:276-286``).
+    schur_mode: str = "auto"
 
 
 class BASummary(NamedTuple):

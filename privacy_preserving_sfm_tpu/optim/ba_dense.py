@@ -28,6 +28,7 @@ import numpy as np
 
 from privacy_preserving_sfm_tpu.ops import lie, linalg, lines as line_ops
 from privacy_preserving_sfm_tpu.optim import ba as ba_mod
+from privacy_preserving_sfm_tpu.optim import schur_pcg
 
 
 class DenseBAProblem(NamedTuple):
@@ -205,6 +206,22 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
     cam_mask = problem.cam_gather_mask  # (C, M)
     point_of_cam = cam_gather // K  # (C, M): point index per cam slot
 
+    # Reduced-camera-system solve strategy (resolved at trace time).
+    if options.schur_mode == "explicit":
+        use_explicit = True
+    elif options.schur_mode == "auto":
+        # Dispatch-latency dominates on accelerators, so the dense system
+        # wins whenever it fits in VMEM; on CPU the implicit matvecs are
+        # cheaper than materializing S.
+        use_explicit = (jax.default_backend() != "cpu"
+                        and schur_pcg.explicit_fits(C))
+    else:
+        use_explicit = False
+    # The fused Pallas PCG only runs on real TPU backends; on CPU the
+    # explicit system is solved with the same PCG in plain XLA.
+    use_pallas = jax.default_backend() != "cpu"
+    n_pad = schur_pcg.padded_dim(C)
+
     def build_normal(qvecs, tvecs, points):
         r, Jc, Jp = _residuals_and_jacobians(problem, qvecs, tvecs, points,
                                              camera_model)
@@ -233,12 +250,44 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
             Hcp_cam = Hcp_o[:0]  # unused placeholder
         return Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp
 
+    def solve_explicit(dHcc, Hpp_inv, Hcp_o, gc, gp):
+        """Materialize S (6C, 6C) and run the whole PCG fused in VMEM."""
+        n = 6 * C
+        U = schur_pcg.build_u_matrix(Hcp_o, problem.obs_cam, C)  # (P,3,n)
+        W = jnp.einsum("pab,pbn->pan", Hpp_inv, U)
+        U2 = U.reshape(-1, n)
+        S_corr = jax.lax.dot_general(
+            U2, W.reshape(-1, n), (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype)  # (n, n)
+        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, gp)  # (P, 3)
+        rhs = gc.reshape(n) - U2.T @ y0.reshape(-1)
+        SJ = dHcc - schur_pcg.diag_blocks(S_corr, C)
+        SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
+        S = schur_pcg.embed_block_diag(dHcc, n_pad, pad_value=1.0)
+        S = S - jnp.pad(S_corr, ((0, n_pad - n), (0, n_pad - n)))
+        Minv = schur_pcg.embed_block_diag(SJ_inv, n_pad, pad_value=1.0)
+        rhs_p = jnp.pad(rhs, (0, n_pad - n))
+        if use_pallas:
+            dcf = schur_pcg.pcg_fused(S, Minv, rhs_p,
+                                      options.cg_iterations)
+        else:
+            dcf = schur_pcg.pcg_xla(S, Minv, rhs_p, options.cg_iterations)
+        return dcf[:n].reshape(C, 6)
+
     def solve_step(Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp, lam):
         dHcc = Hcc + lam * ba_mod._diag_embed6(
             jnp.diagonal(Hcc, axis1=-2, axis2=-1)) + 1e-12 * eye6
         dHpp = Hpp + lam * ba_mod._diag_embed3(
             jnp.diagonal(Hpp, axis1=-2, axis2=-1)) + 1e-12 * eye3
         Hpp_inv = linalg.inv3(dHpp)  # (P, 3, 3)
+
+        if use_explicit:
+            dc = solve_explicit(dHcc, Hpp_inv, Hcp_o, gc, gp)
+            dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+            Etdc = jnp.einsum("pkji,pkj->pi", Hcp_o, dc[problem.obs_cam])
+            dp = jnp.einsum("pij,pj->pi", Hpp_inv, gp - Etdc)
+            dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
+            return dc, dp
 
         def cam_side_reduce(y):
             """E y: (P, 3) point vectors -> (C, 6) camera bins."""

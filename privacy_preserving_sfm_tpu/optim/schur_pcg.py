@@ -1,0 +1,172 @@
+"""Explicit Schur-complement PCG: the DENSE_SCHUR regime, TPU-first.
+
+The implicit-Schur CG in ``optim/ba.py``/``ba_dense.py`` evaluates ``S v``
+with a chain of ~15 small XLA ops per CG step; on the TPU each op carries
+fixed dispatch latency, so at reconstruction scale (C ~ 100 cameras) the
+solve is latency-bound at <0.1 % MFU.  For small-to-medium camera systems
+(the reference picks DENSE_SCHUR below 50 images and SPARSE_SCHUR below
+1000, ``/root/reference/src/optim/bundle_adjustment.cc:276-286``) the right
+TPU design is the opposite of Ceres' sparse factorization:
+
+1. Materialize the reduced camera system ``S = dHcc - E Hpp^{-1} E^T`` as a
+   single dense (6C, 6C) matrix with two large MXU contractions (the
+   scatter-free "U-matrix" factorization below), and
+2. run the *entire* preconditioned-CG loop in one Pallas kernel with S, the
+   block-Jacobi preconditioner, and all CG vectors resident in VMEM — zero
+   per-step dispatch, pure MXU/VPU work.
+
+U-matrix factorization (no scatters): with per-point observation blocks
+``Hcp (P, K, 6, 3)`` (K = track-length bucket) and one-hot camera
+assignment ``G (P, K, C)``,
+
+    U[p, a, (c, i)] = sum_k G[p,k,c] * Hcp[p,k,i,a]        (batched matmul)
+    S_corr          = U^T (I_P (x) Hpp^{-1}) U             (one big matmul)
+    rhs_corr        = U^T vec(Hpp^{-1} g_p)                (one matvec)
+
+Both the correction and the right-hand side come out of dense
+contractions; the only "scatter" left is embedding C diagonal 6x6 blocks,
+which is a trivial indexed write.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pcg_kernel(s_ref, minv_ref, rhs_ref, x_ref, *, iters: int):
+    """Whole PCG loop on VMEM-resident S (N, N), Minv (N, N), rhs (1, N)."""
+    S = s_ref[:]
+    Minv = minv_ref[:]
+    r0 = rhs_ref[:]
+    z0 = jnp.dot(r0, Minv, preferred_element_type=r0.dtype)
+
+    def body(i, state):
+        x, r, p, rz = state
+        # S and Minv are symmetric, so the row-vector form p @ S == (S p)^T.
+        Ap = jnp.dot(p, S, preferred_element_type=r0.dtype)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = jnp.dot(r, Minv, preferred_element_type=r0.dtype)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        return x, r, z + beta * p, rz_new
+
+    x0 = jnp.zeros_like(r0)
+    x, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (x0, r0, z0, jnp.sum(r0 * z0)))
+    x_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def pcg_fused(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
+              iters: int, interpret: bool = False) -> jax.Array:
+    """Solve S x = rhs by PCG in one fused Pallas kernel.
+
+    S, Minv: (N, N) symmetric, N a multiple of 128 (pad with identity);
+    rhs: (N,).  Returns x (N,).  ``interpret=True`` runs the Pallas
+    interpreter (CPU testing).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = S.shape[0]
+    rhs2 = rhs.reshape(1, n)
+    out = pl.pallas_call(
+        functools.partial(_pcg_kernel, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((1, n), rhs.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(S, Minv, rhs2)
+    return out.reshape(n)
+
+
+def pcg_xla(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
+            iters: int) -> jax.Array:
+    """Reference XLA PCG on the explicit system (used on CPU and in tests)."""
+
+    def body(i, state):
+        x, r, p, rz = state
+        Ap = S @ p
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv @ r
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        return x, r, z + beta * p, rz_new
+
+    z0 = Minv @ rhs
+    x, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros_like(rhs), rhs, z0, jnp.sum(rhs * z0)))
+    return x
+
+
+def build_u_matrix(Hcp_o: jax.Array, obs_cam: jax.Array,
+                   num_cams: int) -> jax.Array:
+    """U (P, 3, 6C): camera-binned observation blocks, scatter-free.
+
+    Hcp_o: (P, K, 6, 3) per-observation camera-point cross blocks;
+    obs_cam: (P, K) int32.  Padding observations must already carry zero
+    blocks (they do: the robust weight multiplies obs_weight == 0).
+    """
+    P, K = obs_cam.shape
+    dtype = Hcp_o.dtype
+    onehot = jax.nn.one_hot(obs_cam, num_cams, dtype=dtype)  # (P, K, C)
+    # (P, K, 18) x (P, K, C) -> (P, 18, C); 18 = (i, a) with i major.
+    blocks = Hcp_o.reshape(P, K, 18)
+    u = jax.lax.dot_general(
+        blocks, onehot, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype)  # (P, 18, C)
+    u = u.reshape(P, 6, 3, num_cams)
+    u = jnp.transpose(u, (0, 2, 3, 1))  # (P, 3, C, 6)
+    return u.reshape(P, 3, 6 * num_cams)
+
+
+def embed_block_diag(blocks: jax.Array, n_pad: int,
+                     pad_value: float = 1.0) -> jax.Array:
+    """(C, 6, 6) diagonal blocks -> dense (n_pad, n_pad), identity padding."""
+    C = blocks.shape[0]
+    n = 6 * C
+    dense = jnp.zeros((C, 6, C, 6), blocks.dtype)
+    ar = jnp.arange(C)
+    dense = dense.at[ar, :, ar, :].set(blocks)
+    dense = dense.reshape(n, n)
+    if n_pad > n:
+        out = jnp.zeros((n_pad, n_pad), blocks.dtype)
+        out = out.at[:n, :n].set(dense)
+        idx = jnp.arange(n, n_pad)
+        out = out.at[idx, idx].set(pad_value)
+        return out
+    return dense
+
+
+def diag_blocks(S: jax.Array, num_cams: int) -> jax.Array:
+    """Extract (C, 6, 6) diagonal blocks from dense S (>=6C, >=6C)."""
+    n = 6 * num_cams
+    S4 = S[:n, :n].reshape(num_cams, 6, num_cams, 6)
+    ar = jnp.arange(num_cams)
+    return S4[ar, :, ar, :]
+
+
+def padded_dim(num_cams: int) -> int:
+    return _round_up(6 * num_cams, _LANE)
+
+
+def explicit_fits(num_cams: int, max_dim: int = 1024) -> bool:
+    """True when the dense (6C, 6C) system + preconditioner fit in VMEM."""
+    return padded_dim(num_cams) <= max_dim

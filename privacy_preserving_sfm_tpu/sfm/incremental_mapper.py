@@ -760,12 +760,38 @@ class IncrementalMapper:
             obs_weight=jnp.asarray(obs_weight),
             cam_dof_mask=jnp.asarray(dof_mask),
             point_mask=jnp.asarray(point_mask))
-        ba_key = (C, P, O, camera0.model, ba_options)
-        if ba_key not in self._jit_ba:
-            model = camera0.model
-            self._jit_ba[ba_key] = jax.jit(
-                lambda prob: ba_mod.bundle_adjust(prob, model, ba_options))
-        q, t, X, summary = self._jit_ba[ba_key](problem)
+        # On accelerators, convert to dense per-point blocks: scatter-free
+        # point reductions + the explicit-Schur fused-PCG path
+        # (optim/schur_pcg.py) when the camera system fits in VMEM.  On
+        # CPU the flat segment_sum solver measures faster.
+        # PPSFM_BA_PATH=flat|dense and PPSFM_SCHUR_MODE=auto|implicit|
+        # explicit override the defaults (debug / A-B testing).
+        import os as _os
+        ba_path = _os.environ.get("PPSFM_BA_PATH", "")
+        schur_override = _os.environ.get("PPSFM_SCHUR_MODE", "")
+        if schur_override:
+            ba_options = ba_options._replace(schur_mode=schur_override)
+        use_dense = (ba_path == "dense" or
+                     (ba_path != "flat" and jax.default_backend() != "cpu"))
+        if use_dense:
+            from privacy_preserving_sfm_tpu.optim import ba_dense
+            dense = ba_dense.from_flat_problem(problem)
+            ba_key = (dense.obs_cam.shape, dense.cam_gather.shape, P,
+                      camera0.model, ba_options)
+            if ba_key not in self._jit_ba:
+                model = camera0.model
+                self._jit_ba[ba_key] = jax.jit(
+                    lambda prob: ba_dense.bundle_adjust_dense(
+                        prob, model, ba_options))
+            q, t, X, summary = self._jit_ba[ba_key](dense)
+        else:
+            ba_key = (C, P, O, camera0.model, ba_options)
+            if ba_key not in self._jit_ba:
+                model = camera0.model
+                self._jit_ba[ba_key] = jax.jit(
+                    lambda prob: ba_mod.bundle_adjust(prob, model,
+                                                      ba_options))
+            q, t, X, summary = self._jit_ba[ba_key](problem)
         q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
         if not (np.isfinite(q).all() and np.isfinite(t).all()
                 and np.isfinite(X).all()):
