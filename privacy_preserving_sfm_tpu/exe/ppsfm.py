@@ -53,18 +53,28 @@ def cmd_feature_extractor(args):
         for idx, name in enumerate(names):
             path = os.path.join(args.image_path, name)
             cam_info = extraction.read_camera_model_file(path)
-            if cam_info is None:
-                print(f"  {name}: no .camera_model.txt, skipping")
-                continue
             gravity = extraction.read_gravity_file(path)
             if gravity is None:
                 print(f"  {name}: no .gravity.txt, skipping")
                 continue
-            model, params = cam_info
-            assert model in MODELS, f"unknown camera model {model}"
 
             img = extraction.load_image_grayscale(path)
             h, w = img.shape
+            prior_focal = True
+            if cam_info is None:
+                # No explicit calibration: EXIF focal-length cascade
+                # (bitmap.cc:286-370 / image_reader.cc:117-139).
+                from privacy_preserving_sfm_tpu.features.exif_focal import (
+                    exif_focal_length,
+                )
+                focal, prior_focal = exif_focal_length(path, w, h)
+                cam_info = ("SIMPLE_PINHOLE",
+                            np.array([focal, w / 2.0, h / 2.0]))
+                print(f"  {name}: focal from "
+                      f"{'EXIF' if prior_focal else 'heuristic'} "
+                      f"({focal:.1f} px)")
+            model, params = cam_info
+            assert model in MODELS, f"unknown camera model {model}"
             img_r, scale = extraction.resize_to_max(img, args.max_image_size)
             params_scaled = params.copy()
             if scale != 1.0:
@@ -74,7 +84,8 @@ def cmd_feature_extractor(args):
 
             cam_key = (model, tuple(params), w, h)
             if cam_key not in camera_ids:
-                camera_ids[cam_key] = db.write_camera(model, w, h, params)
+                camera_ids[cam_key] = db.write_camera(
+                    model, w, h, params, prior_focal=prior_focal)
             if name in existing:
                 iid = existing[name]
             else:
@@ -382,6 +393,25 @@ def cmd_line_initializer(args):
           f"({len(rec.points3d)} points)")
 
 
+def cmd_model_viewer(args):
+    """Headless replacement for the Qt model viewer (``ui/model_viewer_
+    widget.cc``): renders the sparse model to PNG (single view or
+    turntable sequence)."""
+    from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
+    from privacy_preserving_sfm_tpu.viz import render_model, render_turntable
+
+    rec = Reconstruction.read_text(args.input_path)
+    if args.turntable > 0:
+        paths = render_turntable(rec, args.output_path,
+                                 num_frames=args.turntable,
+                                 elev=args.elev, color_by=args.color_by)
+        print(f"Wrote {len(paths)} frames to {args.output_path}")
+    else:
+        render_model(rec, args.output_path, elev=args.elev, azim=args.azim,
+                     color_by=args.color_by)
+        print(f"Wrote {args.output_path}")
+
+
 def cmd_project_generator(args):
     from privacy_preserving_sfm_tpu.utils.config import AllOptions
 
@@ -492,6 +522,18 @@ def main(argv=None):
     _add_db_arg(p)
     p.add_argument("--output_path", required=True)
     p.set_defaults(func=cmd_line_initializer)
+
+    p = sub.add_parser("model_viewer")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True,
+                   help="PNG path (or directory with --turntable)")
+    p.add_argument("--turntable", type=int, default=0,
+                   help="render N azimuth frames instead of one view")
+    p.add_argument("--elev", type=float, default=-60.0)
+    p.add_argument("--azim", type=float, default=-90.0)
+    p.add_argument("--color_by", choices=["track", "error", "depth"],
+                   default="track")
+    p.set_defaults(func=cmd_model_viewer)
 
     p = sub.add_parser("project_generator")
     p.add_argument("--database_path", default="")
