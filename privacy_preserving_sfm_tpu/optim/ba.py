@@ -80,6 +80,15 @@ class BAOptions(NamedTuple):
     #     implicit (the reference's size-based solver switch,
     #     ``bundle_adjustment.cc:276-286``).
     schur_mode: str = "auto"
+    # Dense-block explicit mode only: compute precision of the S_corr
+    # materialization (the dominant matmul, (3P, 6C)^T @ (3P, 6C)).
+    #   "f32"  — full precision (default).
+    #   "bf16" — cast the U factors to bfloat16 and accumulate in f32 on
+    #     the MXU (2x peak on v5e).  S keeps ~3 significant digits per
+    #     entry; inside a damped LM trust region the resulting step is a
+    #     descent direction long before it is an exact Newton step, so
+    #     convergence is preserved (evaluated in bench.py / REPORT).
+    schur_precision: str = "f32"
 
 
 class BASummary(NamedTuple):

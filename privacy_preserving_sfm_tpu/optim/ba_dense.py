@@ -256,8 +256,17 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
         U = schur_pcg.build_u_matrix(Hcp_o, problem.obs_cam, C)  # (P,3,n)
         W = jnp.einsum("pab,pbn->pan", Hpp_inv, U)
         U2 = U.reshape(-1, n)
+        W2 = W.reshape(-1, n)
+        if options.schur_precision == "bf16":
+            # bf16 operands, f32 MXU accumulation: 2x peak on v5e.  The
+            # damped LM accepts/rejects on the exact f32 cost, so a ~3
+            # significant-digit S only perturbs the step direction.
+            U2c = U2.astype(jnp.bfloat16)
+            W2c = W2.astype(jnp.bfloat16)
+        else:
+            U2c, W2c = U2, W2
         S_corr = jax.lax.dot_general(
-            U2, W.reshape(-1, n), (((0,), (0,)), ((), ())),
+            U2c, W2c, (((0,), (0,)), ((), ())),
             preferred_element_type=dtype)  # (n, n)
         y0 = jnp.einsum("pij,pj->pi", Hpp_inv, gp)  # (P, 3)
         rhs = gc.reshape(n) - U2.T @ y0.reshape(-1)

@@ -126,3 +126,31 @@ def test_build_u_matrix_matches_scatter():
             c = cams[p, k]
             expect[p, :, 6 * c:6 * c + 6] += Hcp[p, k].T
     np.testing.assert_allclose(U, expect, atol=1e-12)
+
+
+def test_explicit_bf16_schur_converges():
+    """bf16-compute/f32-accumulate S_corr still solves the scene: the LM
+    accept/reject runs on the exact f32 cost, so a low-precision S only
+    perturbs step directions (evaluated quantitatively in bench.py)."""
+    rng = np.random.default_rng(5)
+    problem = _synthetic_problem(rng)
+    # bf16 path operates on f32 tensors (the production dtype).
+    problem = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if a.dtype == jnp.float64 else a, problem)
+    dense = ba_dense.from_flat_problem(problem)
+    kw = dict(max_iterations=20, cg_iterations=25, function_tolerance=0.0)
+    q_f, t_f, X_f, s_f = ba_dense.bundle_adjust_dense(
+        dense, "SIMPLE_PINHOLE",
+        ba.BAOptions(schur_mode="explicit", schur_precision="f32", **kw))
+    q_b, t_b, X_b, s_b = ba_dense.bundle_adjust_dense(
+        dense, "SIMPLE_PINHOLE",
+        ba.BAOptions(schur_mode="explicit", schur_precision="bf16", **kw))
+    assert float(s_f.final_cost) < 1e-6 * float(s_f.initial_cost)
+    # Measured trade-off (recorded here as the spec): a ~3-digit S still
+    # yields descent directions — cost drops ~5 orders of magnitude — but
+    # stalls earlier than f32 (CG steps become noise-dominated near the
+    # optimum).  bf16 is therefore an early-iteration accelerator, not a
+    # drop-in: keep f32 the default for parity.
+    assert float(s_b.final_cost) < 1e-4 * float(s_b.initial_cost)
+    assert float(s_b.final_cost) > float(s_f.final_cost)
