@@ -1,15 +1,24 @@
 """Generate a synthetic multi-view image dataset with gravity + calibration.
 
-Renders a richly-textured tilted plane through per-view homographies
-(cv2.warpPerspective), writes ``<img>.png``, ``<img>.png.gravity.txt`` and
+Two scene kinds:
+
+* ``plane`` — a richly-textured tilted plane rendered through per-view
+  homographies (cv2.warpPerspective).
+* ``box``   — a true 3D scene: several independently-textured planar
+  facets at different depths/orientations, composited per pixel by
+  nearest depth (analytic plane depth under the inverse homography).
+  NOT renderable by any single homography, so the e2e run exercises real
+  parallax/occlusion rather than a degenerate planar geometry.
+
+Writes ``<img>.png``, ``<img>.png.gravity.txt`` and
 ``<img>.png.camera_model.txt`` in the reference's dataset layout
 (``image_reader.cc:206-247``), plus ``gt_poses.txt`` for evaluation.
 
-The tilted plane (z = z0 + ax*u + ay*v) keeps the horizontal-plane 2D
-reduction of the initializer non-degenerate (a fronto-parallel plane would
-project to a line in the 2D sub-problem).
+The facet tilts keep the horizontal-plane 2D reduction of the initializer
+non-degenerate (a fronto-parallel plane would project to a line in the 2D
+sub-problem).
 
-Usage: python tools/synth_dataset.py OUTDIR [num_images]
+Usage: python tools/synth_dataset.py OUTDIR [num_images] [plane|box]
 """
 
 import os
@@ -18,8 +27,63 @@ import sys
 import numpy as np
 
 
+def _make_texture(rng, tex_size, cv2):
+    tex = rng.uniform(0, 1, (tex_size // 8, tex_size // 8)).astype(np.float32)
+    tex = cv2.resize(tex, (tex_size, tex_size), interpolation=cv2.INTER_CUBIC)
+    tex += 0.5 * cv2.resize(
+        rng.uniform(0, 1, (tex_size // 32, tex_size // 32)).astype(np.float32),
+        (tex_size, tex_size), interpolation=cv2.INTER_CUBIC)
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    return (tex * 255).astype(np.uint8)
+
+
+# Facets of the "box" scene: (origin O, edge A, edge B) with world points
+# X(u, v) = O + u A + v B, (u, v) in [-1, 1]^2.  A back wall, a tilted
+# floor, a slanted side wall and a floating billboard — different depths
+# and normals, so no single homography explains any image pair.
+BOX_FACETS = (
+    (np.array([0.0, 0.0, 6.5]),            # back wall, gently tilted
+     np.array([3.2, 0.0, 0.7]), np.array([0.0, 2.4, 0.5])),
+    (np.array([0.0, 1.6, 4.6]),            # floor, sloped
+     np.array([2.8, 0.12, 0.0]), np.array([0.0, 0.55, 2.2])),
+    (np.array([-2.4, 0.0, 4.8]),           # left wall, slanted inward
+     np.array([0.9, 0.05, 1.6]), np.array([0.1, 1.9, 0.0])),
+    (np.array([1.5, -0.5, 4.1]),           # floating billboard
+     np.array([0.9, 0.0, 0.35]), np.array([0.0, 0.8, 0.2])),
+)
+
+
+def _render_box_view(K, R, t, textures, width, height, cv2):
+    """Composite the BOX_FACETS by nearest positive depth."""
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    pix = np.stack([xs, ys, np.ones_like(xs)])  # (3, H, W)
+    img = np.full((height, width), 96, np.uint8)  # featureless background
+    zbuf = np.full((height, width), np.inf)
+    for (O, A, B), tex in zip(BOX_FACETS, textures):
+        ts = tex.shape[0]
+        # Homography [u, v, 1] -> image pixel for this facet.
+        Hm = K @ np.column_stack([R @ A, R @ B, R @ O + t])
+        Hinv = np.linalg.inv(Hm)
+        uvw = np.einsum("ij,jhw->ihw", Hinv, pix)
+        w = uvw[2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = uvw[0] / w
+            v = uvw[1] / w
+        # Depth of the facet point along the camera z axis.
+        depth = (R[2] @ O + t[2]) + u * (R[2] @ A) + v * (R[2] @ B)
+        valid = (np.abs(u) <= 1) & (np.abs(v) <= 1) & (depth > 0.1)
+        valid &= np.isfinite(u) & np.isfinite(v)
+        win = valid & (depth < zbuf)
+        map_x = ((u + 1) * 0.5 * (ts - 1)).astype(np.float32)
+        map_y = ((v + 1) * 0.5 * (ts - 1)).astype(np.float32)
+        shade = cv2.remap(tex, map_x, map_y, cv2.INTER_LINEAR)
+        img[win] = shade[win]
+        zbuf[win] = depth[win]
+    return img
+
+
 def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
-                 f=400.0, seed=0):
+                 f=400.0, seed=0, scene: str = "plane"):
     import cv2
     import jax.numpy as jnp
 
@@ -30,15 +94,11 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
 
-    # High-contrast smooth texture.
+    # High-contrast smooth texture(s).
     tex_size = 1600
-    tex = rng.uniform(0, 1, (tex_size // 8, tex_size // 8)).astype(np.float32)
-    tex = cv2.resize(tex, (tex_size, tex_size), interpolation=cv2.INTER_CUBIC)
-    tex += 0.5 * cv2.resize(
-        rng.uniform(0, 1, (tex_size // 32, tex_size // 32)).astype(np.float32),
-        (tex_size, tex_size), interpolation=cv2.INTER_CUBIC)
-    tex = (tex - tex.min()) / (tex.max() - tex.min())
-    tex = (tex * 255).astype(np.uint8)
+    tex = _make_texture(rng, tex_size, cv2)
+    box_textures = [_make_texture(rng, 800, cv2) for _ in BOX_FACETS] \
+        if scene == "box" else None
 
     # Plane: X(u, v) = (u, v, z0 + ax u + ay v), (u, v) in [-S, S]^2.
     S, z0, ax_c, ay_c = 3.0, 5.0, 0.5, 0.35
@@ -72,13 +132,17 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
                                          jnp.asarray(q_yaw)))
         R = np.asarray(lie.quat_to_rotmat(jnp.asarray(q)))
         t = -R @ C
-        # Homography texture -> image: world point X = M [u, v, 1]^T, so
-        # x ~ K (R X + t) = K (R M + t [0,0,1]) [u,v,1]^T.
-        H = K @ (R @ M + t[:, None] @ np.array([[0.0, 0.0, 1.0]])) @ T
-
-        img = cv2.warpPerspective(tex, H, (width, height),
-                                  flags=cv2.INTER_LINEAR,
-                                  borderMode=cv2.BORDER_REPLICATE)
+        if scene == "box":
+            img = _render_box_view(K, R, t, box_textures, width, height,
+                                   cv2)
+        else:
+            # Homography texture -> image: world point X = M [u, v, 1]^T,
+            # so x ~ K (R X + t) = K (R M + t [0,0,1]) [u,v,1]^T.
+            H = K @ (R @ M + t[:, None]
+                     @ np.array([[0.0, 0.0, 1.0]])) @ T
+            img = cv2.warpPerspective(tex, H, (width, height),
+                                      flags=cv2.INTER_LINEAR,
+                                      borderMode=cv2.BORDER_REPLICATE)
         name = f"img{i:03d}.png"
         cv2.imwrite(os.path.join(outdir, name), img)
         g = R @ np.array([0.0, 1.0, 0.0])
@@ -98,6 +162,7 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
     import json
     with open(os.path.join(outdir, "meta.json"), "w") as fo:
         json.dump({"f": f, "width": width, "height": height,
+                   "scene": scene,
                    "plane_S": S, "plane_z0": z0,
                    "plane_ax": ax_c, "plane_ay": ay_c,
                    "tex_size": tex_size}, fo)
@@ -107,5 +172,6 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ppsfm_synth"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    make_dataset(out, n)
-    print(f"wrote {n} images to {out}")
+    kind = sys.argv[3] if len(sys.argv) > 3 else "plane"
+    make_dataset(out, n, scene=kind)
+    print(f"wrote {n} {kind} images to {out}")
