@@ -62,6 +62,26 @@ def inv3(A: jax.Array, eps: float = 1e-30) -> jax.Array:
     return adjugate3(A) / det[..., None, None]
 
 
+def chol3(A: jax.Array, eps: float = 1e-30) -> jax.Array:
+    """Closed-form Cholesky of batched SPD 3x3: A = L L^T, L lower.
+
+    Batched over leading dims; clamps pivots at ``eps`` so padded/singular
+    blocks yield finite (garbage) factors instead of NaNs — callers mask.
+    """
+    a00 = jnp.maximum(A[..., 0, 0], eps)
+    l00 = jnp.sqrt(a00)
+    l10 = A[..., 1, 0] / l00
+    l20 = A[..., 2, 0] / l00
+    l11 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l10 * l10, eps))
+    l21 = (A[..., 2, 1] - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l20 * l20 - l21 * l21, eps))
+    z = jnp.zeros_like(l00)
+    return jnp.stack([
+        jnp.stack([l00, z, z], -1),
+        jnp.stack([l10, l11, z], -1),
+        jnp.stack([l20, l21, l22], -1)], -2)
+
+
 def solve_spd(A: jax.Array, b: jax.Array, damping: float = 0.0) -> jax.Array:
     """Solve small SPD systems via Cholesky-free normal-equation Cramer.
 

@@ -139,19 +139,21 @@ def build_u_matrix(Hcp_o: jax.Array, obs_cam: jax.Array,
 
 def embed_block_diag(blocks: jax.Array, n_pad: int,
                      pad_value: float = 1.0) -> jax.Array:
-    """(C, 6, 6) diagonal blocks -> dense (n_pad, n_pad), identity padding."""
+    """(C, 6, 6) diagonal blocks -> dense (n_pad, n_pad), identity padding.
+
+    Scatter-free: the embedding is an outer product with I_C (broadcast
+    multiply) and the padding diagonal a broadcast compare — scatters
+    (``.at[].set``) are latency-bound on TPU.
+    """
     C = blocks.shape[0]
     n = 6 * C
-    dense = jnp.zeros((C, 6, C, 6), blocks.dtype)
-    ar = jnp.arange(C)
-    dense = dense.at[ar, :, ar, :].set(blocks)
-    dense = dense.reshape(n, n)
+    eyeC = jnp.eye(C, dtype=blocks.dtype)
+    dense = (blocks[:, :, None, :] * eyeC[:, None, :, None]).reshape(n, n)
     if n_pad > n:
-        out = jnp.zeros((n_pad, n_pad), blocks.dtype)
-        out = out.at[:n, :n].set(dense)
-        idx = jnp.arange(n, n_pad)
-        out = out.at[idx, idx].set(pad_value)
-        return out
+        out = jnp.pad(dense, ((0, n_pad - n), (0, n_pad - n)))
+        d = jnp.arange(n_pad)
+        return out + jnp.where((d >= n)[:, None] & (d[None, :] == d[:, None]),
+                               jnp.asarray(pad_value, blocks.dtype), 0)
     return dense
 
 

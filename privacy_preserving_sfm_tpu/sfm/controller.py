@@ -161,6 +161,10 @@ class IncrementalMapperController:
             # Robust loss only on the first refinement round.
             ba_options = ba_options._replace(loss="trivial")
         mapper.triangulator.modified_point3d_ids.clear()
+        # Fold the mapper's sub-phase timers (ba_assemble / ba_solve /
+        # merge / complete / filter inside adjust_local_bundle) into the
+        # pipeline profile so the local_refine total is attributable.
+        self._fold_mapper_phases(mapper, "local_refine")
 
     def _global_ba_options(self, mapper: IncrementalMapper):
         """Global BA options with the <10-registered-images strictness of
@@ -173,8 +177,21 @@ class IncrementalMapperController:
                 function_tolerance=ba_options.function_tolerance / 10)
         return ba_options
 
+    def _fold_mapper_phases(self, mapper: IncrementalMapper, prefix: str):
+        for k, v in getattr(mapper, "_phase_times", {}).items():
+            self.profiler.totals[f"{prefix}/{k}"] += v
+            self.profiler.counts[f"{prefix}/{k}"] += 1
+        mapper._phase_times = {}
+
     def iterative_global_refinement(self, mapper: IncrementalMapper):
+        self._fold_mapper_phases(mapper, "other")  # leftovers (init etc.)
         self._complete_and_merge(mapper)
+        try:
+            self._iterative_global_refinement_body(mapper)
+        finally:
+            self._fold_mapper_phases(mapper, "global_refine")
+
+    def _iterative_global_refinement_body(self, mapper: IncrementalMapper):
         for i in range(self.options.ba_global_max_refinements):
             num_obs = max(1, mapper.rec.num_observations())
             ba_options = self._global_ba_options(mapper)

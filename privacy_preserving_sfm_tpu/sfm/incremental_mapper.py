@@ -668,6 +668,8 @@ class IncrementalMapper:
                 variable_points: Optional[Set[int]],
                 ba_options: ba_mod.BAOptions) -> bool:
         """Assemble a fixed-shape BAProblem and run the device LM kernel."""
+        import time as _time
+        _t_start = _time.perf_counter()
         rec = self.rec
         config_set = set(config_images)
         obs: List[Tuple[int, int, int]] = []  # (image_id, line_idx, pid)
@@ -773,6 +775,7 @@ class IncrementalMapper:
             ba_options = ba_options._replace(schur_mode=schur_override)
         use_dense = (ba_path == "dense" or
                      (ba_path != "flat" and jax.default_backend() != "cpu"))
+        _t_assembled = _time.perf_counter()
         if use_dense:
             from privacy_preserving_sfm_tpu.optim import ba_dense
             dense = ba_dense.from_flat_problem(problem)
@@ -793,6 +796,10 @@ class IncrementalMapper:
                                                       ba_options))
             q, t, X, summary = self._jit_ba[ba_key](problem)
         q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
+        self._phase_times = getattr(self, "_phase_times", {})
+        for k, v in (("ba_assemble", _t_assembled - _t_start),
+                     ("ba_solve", _time.perf_counter() - _t_assembled)):
+            self._phase_times[k] = self._phase_times.get(k, 0.0) + v
         if not (np.isfinite(q).all() and np.isfinite(t).all()
                 and np.isfinite(X).all()):
             return False, len(obs)

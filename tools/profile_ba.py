@@ -34,6 +34,25 @@ def timeit(fn, *args, reps=5):
     return min(ts)
 
 
+def make_looped(stage, n_loop):
+    """Wrap ``stage(q, t, X) -> pytree`` in an in-jit repeat loop so the
+    per-dispatch tunnel latency (~26 ms on axon) amortizes away.  The
+    carry feeds back a data-dependent epsilon so XLA cannot CSE the
+    iterations, and every leaf is reduced into the carry so nothing is
+    dead-code-eliminated."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(first, *rest):
+        def body(i, acc):
+            out = stage(first * (1 + 1e-30 * acc), *rest)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) * 0.0
+        return jax.lax.fori_loop(0, n_loop, body, jnp.float32(0.0))
+
+    return jax.jit(run)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -70,7 +89,8 @@ def main():
     eye6 = jnp.eye(6, dtype=dtype)
 
     # ---- stage: normal equations (residuals + jacobians + assembly) ----
-    @jax.jit
+    LOOP = 16  # in-jit repeats: amortizes the ~26 ms axon dispatch floor
+
     def stage_normal(q, t, X):
         r, Jc, Jp = ba_dense._residuals_and_jacobians(
             dense, q, t, X, "SIMPLE_PINHOLE")
@@ -93,36 +113,37 @@ def main():
         return Hcc, Hpp, Hcp_o, gc, gp
 
     q0, t0, X0 = dense.qvecs, dense.tvecs, dense.points3d
-    t_normal = timeit(stage_normal, q0, t0, X0)
-    Hcc, Hpp, Hcp_o, gc, gp = stage_normal(q0, t0, X0)
+    t_normal = timeit(make_looped(stage_normal, LOOP), q0, t0, X0) / LOOP
+    Hcc, Hpp, Hcp_o, gc, gp = jax.jit(stage_normal)(q0, t0, X0)
 
     # ---- stage: jacobians only (no assembly) ----
-    @jax.jit
     def stage_jac(q, t, X):
         return ba_dense._residuals_and_jacobians(
             dense, q, t, X, "SIMPLE_PINHOLE")
 
-    t_jac = timeit(stage_jac, q0, t0, X0)
+    t_jac = timeit(make_looped(stage_jac, LOOP), q0, t0, X0) / LOOP
 
-    # ---- stage: explicit Schur build ----
+    # ---- stage: explicit Schur build (Hcp_o first: it feeds the
+    # anti-CSE perturbation so the U build cannot be hoisted) ----
     from privacy_preserving_sfm_tpu.ops import linalg
 
-    @jax.jit
-    def stage_schur(Hcc, Hpp, Hcp_o, gc, gp):
+    def stage_schur(Hcp_o, Hcc, Hpp, gc, gp):
         lam = jnp.asarray(1e-4, dtype)
         dHcc = Hcc + lam * ba_mod._diag_embed6(
             jnp.diagonal(Hcc, axis1=-2, axis2=-1)) + 1e-12 * eye6
         dHpp = Hpp + lam * ba_mod._diag_embed3(
-            jnp.diagonal(Hpp, axis1=-2, axis2=-1)) + 1e-12 * jnp.eye(3, dtype=dtype)
+            jnp.diagonal(Hpp, axis1=-2, axis2=-1)) \
+            + 1e-12 * jnp.eye(3, dtype=dtype)
         Hpp_inv = linalg.inv3(dHpp)
         U = schur_pcg.build_u_matrix(Hcp_o, dense.obs_cam, C)
-        W = jnp.einsum("pab,pbn->pan", Hpp_inv, U)
-        U2 = U.reshape(-1, n)
-        S_corr = jax.lax.dot_general(
-            U2, W.reshape(-1, n), (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype)
-        y0 = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        rhs = gc.reshape(n) - U2.T @ y0.reshape(-1)
+        L = linalg.chol3(Hpp_inv)
+        V = jnp.einsum("pba,pbn->pan", L, U)
+        gL = jnp.einsum("pba,pb->pa", L, gp)
+        Vx = jnp.concatenate([V.reshape(-1, n), gL.reshape(-1, 1)], axis=1)
+        G = jax.lax.dot_general(
+            Vx, Vx, (((0,), (0,)), ((), ())), preferred_element_type=dtype)
+        S_corr = G[:n, :n]
+        rhs = gc.reshape(n) - G[:n, n]
         SJ = dHcc - schur_pcg.diag_blocks(S_corr, C)
         SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
         S = schur_pcg.embed_block_diag(dHcc, n_pad, 1.0)
@@ -130,37 +151,41 @@ def main():
         Minv = schur_pcg.embed_block_diag(SJ_inv, n_pad, 1.0)
         return S, Minv, jnp.pad(rhs, (0, n_pad - n))
 
-    t_schur = timeit(stage_schur, Hcc, Hpp, Hcp_o, gc, gp)
-    S, Minv, rhs_p = stage_schur(Hcc, Hpp, Hcp_o, gc, gp)
+    t_schur = timeit(make_looped(stage_schur, LOOP),
+                     Hcp_o, Hcc, Hpp, gc, gp) / LOOP
+    S, Minv, rhs_p = jax.jit(stage_schur)(Hcp_o, Hcc, Hpp, gc, gp)
 
     # ---- sub-stage: S_corr matmul alone ----
     U_probe = schur_pcg.build_u_matrix(Hcp_o, dense.obs_cam, C)
 
-    @jax.jit
     def stage_scorr(U):
         U2 = U.reshape(-1, n)
         return jax.lax.dot_general(
             U2, U2, (((0,), (0,)), ((), ())), preferred_element_type=dtype)
 
-    t_scorr = timeit(stage_scorr, U_probe)
+    t_scorr = timeit(make_looped(stage_scorr, LOOP), U_probe) / LOOP
+
+    def stage_ubuild(Hcp_o):
+        return schur_pcg.build_u_matrix(Hcp_o, dense.obs_cam, C)
+
+    t_ubuild = timeit(make_looped(stage_ubuild, LOOP), Hcp_o) / LOOP
 
     # ---- stage: fused PCG ----
     use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
-        def run_pcg(S, Minv, rhs):
+        def stage_pcg(S, Minv, rhs):
             return schur_pcg.pcg_fused(S, Minv, rhs, args.cg_iters)
     else:
-        run_pcg = jax.jit(lambda S, Minv, rhs: schur_pcg.pcg_xla(
-            S, Minv, rhs, args.cg_iters))
-    t_pcg = timeit(run_pcg, S, Minv, rhs_p)
+        def stage_pcg(S, Minv, rhs):
+            return schur_pcg.pcg_xla(S, Minv, rhs, args.cg_iters)
+    t_pcg = timeit(make_looped(stage_pcg, LOOP), S, Minv, rhs_p) / LOOP
 
     # ---- stage: cost eval ----
-    @jax.jit
     def stage_cost(q, t, X):
         return ba_dense._cost(dense, q, t, X, "SIMPLE_PINHOLE",
                               opts.loss, opts.loss_scale)
 
-    t_cost = timeit(stage_cost, q0, t0, X0)
+    t_cost = timeit(make_looped(stage_cost, LOOP), q0, t0, X0) / LOOP
 
     # ---- full solve ----
     @jax.jit
@@ -173,10 +198,11 @@ def main():
     t_full = timeit(full, reps=3)
 
     per_iter = t_full / max(iters, 1)
-    print(f"\n--- per call (ms), min of 5 ---")
+    print(f"\n--- per call (ms), min of 5, {LOOP}x in-jit loop ---")
     print(f"jacobians only        {t_jac*1e3:9.2f}")
     print(f"normal build (incl J) {t_normal*1e3:9.2f}")
     print(f"schur explicit build  {t_schur*1e3:9.2f}")
+    print(f"  U build only        {t_ubuild*1e3:9.2f}")
     print(f"  S_corr matmul only  {t_scorr*1e3:9.2f}")
     print(f"fused PCG x{args.cg_iters:3d}       {t_pcg*1e3:9.2f}")
     print(f"cost eval             {t_cost*1e3:9.2f}")
