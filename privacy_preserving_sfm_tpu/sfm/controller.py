@@ -276,6 +276,7 @@ class IncrementalMapperController:
                                         self._global_ba_options(mapper))
             mapper.filter_points(self.options.mapper)
             mapper.filter_images(self.options.mapper)
+            self._fold_mapper_phases(mapper, "init")
 
             if rec.num_registered() == 0 or len(rec.points3d) == 0:
                 mapper.end_reconstruction(discard=True)
