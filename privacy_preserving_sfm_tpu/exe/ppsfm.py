@@ -106,7 +106,7 @@ def cmd_feature_extractor(args):
                 mask_r = jnp.asarray(mask_r)
 
             key, k1 = jax.random.split(key)
-            lf = extraction.extract_and_lift(
+            lf = extraction.extract_and_lift_jit(
                 k1, jnp.asarray(img_r, jnp.float32), model,
                 jnp.asarray(params_scaled, jnp.float32),
                 jnp.asarray(gravity, jnp.float32), sift_opts,

@@ -450,10 +450,20 @@ class IncrementalTriangulator:
             return 0
         found = {li: (pool, ntri)
                  for li, pool, ntri in self._find_all(options, image_id)}
+        # Complete every already-triangulated observation of the image in
+        # one batched BFS (was: per-line _complete — the mapper's hottest
+        # host loop), then grow fresh tracks over the remaining lines.
+        tri_pids = []
+        seen_pids: Set[int] = set()
+        for line_idx in range(img.num_lines):
+            pid = int(img.point3d_ids[line_idx])
+            if pid >= 0 and pid not in seen_pids:
+                seen_pids.add(pid)
+                tri_pids.append(pid)
+        num_tris += self._complete_batch(options, tri_pids)
         for line_idx in range(img.num_lines):
             pid = int(img.point3d_ids[line_idx])
             if pid >= 0:
-                num_tris += self._complete(options, pid)
                 continue
             if options.ignore_two_view_tracks and \
                     self._is_two_view(image_id, line_idx):
@@ -574,12 +584,104 @@ class IncrementalTriangulator:
     def merge_all_tracks(self, options: TriangulatorOptions) -> int:
         return self.merge_tracks(options, set(self.rec.points3d.keys()))
 
+    def _complete_batch(self, options: TriangulatorOptions,
+                        pids: List[int]) -> int:
+        """Transitive track growth for MANY points, vectorized.
+
+        Level-synchronous BFS over the CSR graph view: each transitivity
+        level expands every point's frontier at once, gates all candidate
+        observations with one vectorized pixel-error call, and claims
+        contested features first-come-first-served in frontier order.
+        Same accept criterion as the per-point ``_complete``
+        (``incremental_triangulator.cc:697-765``); the only deviation is
+        claim ordering when two points reach the same feature at
+        different levels (sequential processing finished point A's whole
+        BFS before starting B).  The per-point loop was 73% of mapper
+        wall time at 50 images (Python graph walking); this path is
+        O(levels) numpy calls.
+        """
+        view = self.view
+        pids = [p for p in pids if p in self.rec.points3d]
+        if not pids:
+            return 0
+        if view is None:
+            return sum(self._complete(options, p) for p in pids)
+        max_sq = options.complete_max_reproj_error ** 2
+        fo = view.feat_offset
+        ro = view.row_offsets
+        reg_img = np.array(
+            [self.rec.images.get(iid) is not None
+             and self.rec.images[iid].registered
+             for iid in view.image_ids])
+        reg_flat = np.repeat(reg_img, view.num_lines)
+        tri_flat = np.concatenate([
+            np.asarray(self.rec.images[iid].point3d_ids, np.int64)
+            if iid in self.rec.images
+            else np.full(int(view.num_lines[d]), -1, np.int64)
+            for d, iid in enumerate(view.image_ids)])
+        xyz = np.stack([self.rec.points3d[p].xyz for p in pids])
+
+        fr_pid: List[int] = []
+        fr_feat: List[int] = []
+        for k, p in enumerate(pids):
+            for iid, li in self.rec.points3d[p].track:
+                d = view.dense.get(iid)
+                if d is not None:
+                    fr_pid.append(k)
+                    fr_feat.append(int(fo[d]) + int(li))
+        fr_pid_a = np.asarray(fr_pid, np.int64)
+        fr_feat_a = np.asarray(fr_feat, np.int64)
+
+        total = 0
+        for level in range(options.complete_max_transitivity):
+            if len(fr_feat_a) == 0:
+                break
+            starts = ro[fr_feat_a]
+            degs = ro[fr_feat_a + 1] - starts
+            m = int(degs.sum())
+            if m == 0:
+                break
+            rep = np.repeat(np.arange(len(fr_feat_a)), degs)
+            offs = np.arange(m) - np.repeat(np.cumsum(degs) - degs, degs)
+            j = starts[rep] + offs
+            tgt_img_d = view.corr_img_dense[j]
+            tgt = fo[tgt_img_d] + view.corr_line[j]
+            cpid = fr_pid_a[rep]
+            keep = reg_flat[tgt] & (tri_flat[tgt] < 0)
+            tgt, cpid, tgt_img_d = tgt[keep], cpid[keep], tgt_img_d[keep]
+            if len(tgt) == 0:
+                break
+            # Dedup (point, feature) pairs, keeping frontier order.
+            key = cpid * np.int64(view.total_lines) + tgt
+            _, first_idx = np.unique(key, return_index=True)
+            order = np.sort(first_idx)
+            tgt, cpid, tgt_img_d = tgt[order], cpid[order], tgt_img_d[order]
+            iids = view.image_id_arr[tgt_img_d]
+            lis = tgt - fo[tgt_img_d]
+            errs = self.rec.batch_squared_line_errors(iids, lis, xyz[cpid])
+            acc = errs <= max_sq
+            tgt, cpid, iids, lis = tgt[acc], cpid[acc], iids[acc], lis[acc]
+            if len(tgt) == 0:
+                continue
+            # Contested features: first claim in frontier order wins.
+            _, fi2 = np.unique(tgt, return_index=True)
+            order2 = np.sort(fi2)
+            tgt, cpid, iids, lis = (tgt[order2], cpid[order2], iids[order2],
+                                    lis[order2])
+            for k, iid, li in zip(cpid, iids, lis):
+                self.rec.add_observation(pids[int(k)], int(iid), int(li))
+                self.modified_point3d_ids.add(pids[int(k)])
+            tri_flat[tgt] = 1  # claimed; exact pid value not needed here
+            total += len(tgt)
+            if level < options.complete_max_transitivity - 1:
+                fr_pid_a, fr_feat_a = cpid, tgt
+            else:
+                break
+        return total
+
     def complete_tracks(self, options: TriangulatorOptions,
                         point3d_ids: Set[int]) -> int:
-        n = 0
-        for pid in list(point3d_ids):
-            n += self._complete(options, pid)
-        return n
+        return self._complete_batch(options, list(point3d_ids))
 
     def complete_all_tracks(self, options: TriangulatorOptions) -> int:
         return self.complete_tracks(options, set(self.rec.points3d.keys()))

@@ -185,3 +185,34 @@ class TestAffineSift:
                                          f1.valid, f2.valid)
         n_affine = int(np.asarray(res.matches >= 0).sum())
         assert n_affine >= 8, f"only {n_affine} affine matches"
+
+
+def test_extract_and_lift_jit_matches_eager():
+    """The cached-jit front-end wrapper (extraction.extract_and_lift_jit)
+    agrees with the eager path: same valid count, >=95% identical lifted
+    lines (fp reassociation under fusion may flip a few borderline DoG
+    extrema; bitwise stability is not a SIFT property)."""
+    import jax
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.features import extraction, sift
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(render_blob_image(rng)[0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    opts = sift.SiftOptions(max_num_features=256, first_octave=0)
+    g = jnp.asarray([0.0, -1.0, 0.0])
+    par = jnp.asarray([300.0, float(img.shape[1]) / 2,
+                       float(img.shape[0]) / 2])
+    lf_e = extraction.extract_and_lift(key, img, "SIMPLE_PINHOLE", par, g,
+                                       opts)
+    lf_j = extraction.extract_and_lift_jit(key, img, "SIMPLE_PINHOLE", par,
+                                           g, opts)
+    ve = np.asarray(lf_e.valid)
+    vj = np.asarray(lf_j.valid)
+    assert abs(int(ve.sum()) - int(vj.sum())) <= max(2, 0.05 * ve.sum())
+    n = min(ve.sum(), vj.sum())
+    le = np.asarray(lf_e.lines)[ve][:n]
+    lj = np.asarray(lf_j.lines)[vj][:n]
+    same = np.abs(le - lj).max(axis=1) < 1e-4
+    assert same.mean() >= 0.95
