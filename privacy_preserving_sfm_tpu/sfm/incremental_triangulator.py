@@ -302,18 +302,48 @@ class IncrementalTriangulator:
 
     # -- batched create (one vmapped device call per image) -------------
 
-    def _batched_estimator(self, camera_model: str, t_bucket: int):
-        key = ("batch", camera_model, t_bucket)
+    def _batched_estimator(self, camera_model: str, t_bucket: int,
+                           residual: str = "angular"):
+        key = ("batch", camera_model, t_bucket, residual)
         if key not in self._jit_cache:
+            if residual == "angular":
+                base = tri_est.estimate_triangulation
+            else:
+                base = _estimate_triangulation_pixel
+
             def run(lines, proj, centers, params, valid, width, height,
                     max_err, min_ang):
                 f = jax.vmap(
-                    lambda l, p, c, pa, v: tri_est.estimate_triangulation(
+                    lambda l, p, c, pa, v: base(
                         l, p, c, pa, v, camera_model, width, height,
                         max_err, min_ang))
                 return f(lines, proj, centers, params, valid)
             self._jit_cache[key] = jax.jit(run, static_argnums=(5, 6))
         return self._jit_cache[key]
+
+    def _pools_to_arrays(self, pools, t_bucket: int):
+        """Pad T pools to (t_bucket, MAX_POOL) fixed-shape solver inputs."""
+        lines = np.zeros((t_bucket, MAX_POOL, 3))
+        lines[..., 0] = 1.0
+        projs = np.tile(np.eye(3, 4), (t_bucket, MAX_POOL, 1, 1))
+        centers = np.zeros((t_bucket, MAX_POOL, 3))
+        valid = np.zeros((t_bucket, MAX_POOL), bool)
+        cam0 = self.rec.cameras[self.rec.images[pools[0][0][0]].camera_id]
+        params = np.tile(cam0.params, (t_bucket, MAX_POOL, 1))
+        proj_cache = {}
+        for t, pool in enumerate(pools):
+            for i, (iid, li) in enumerate(pool[:MAX_POOL]):
+                img = self.rec.images[iid]
+                if iid not in proj_cache:
+                    proj_cache[iid] = (img.projection_matrix(),
+                                       img.projection_center())
+                pm, pc = proj_cache[iid]
+                lines[t, i] = img.lines[li]
+                projs[t, i] = pm
+                centers[t, i] = pc
+                params[t, i] = self.rec.cameras[img.camera_id].params
+                valid[t, i] = True
+        return lines, projs, centers, params, valid, cam0
 
     def _batched_create(self, options: TriangulatorOptions, pools) -> int:
         """Triangulate many Create pools with one vmapped call per round.
@@ -332,27 +362,8 @@ class IncrementalTriangulator:
             rounds += 1
             T = len(pools)
             Tb = _bucket_t(T)
-            lines = np.zeros((Tb, MAX_POOL, 3))
-            lines[..., 0] = 1.0
-            projs = np.tile(np.eye(3, 4), (Tb, MAX_POOL, 1, 1))
-            centers = np.zeros((Tb, MAX_POOL, 3))
-            valid = np.zeros((Tb, MAX_POOL), bool)
-            cam0 = self.rec.cameras[
-                self.rec.images[pools[0][0][0]].camera_id]
-            params = np.tile(cam0.params, (Tb, MAX_POOL, 1))
-            proj_cache = {}
-            for t, pool in enumerate(pools):
-                for i, (iid, li) in enumerate(pool[:MAX_POOL]):
-                    img = self.rec.images[iid]
-                    if iid not in proj_cache:
-                        proj_cache[iid] = (img.projection_matrix(),
-                                           img.projection_center())
-                    pm, pc = proj_cache[iid]
-                    lines[t, i] = img.lines[li]
-                    projs[t, i] = pm
-                    centers[t, i] = pc
-                    params[t, i] = self.rec.cameras[img.camera_id].params
-                    valid[t, i] = True
+            lines, projs, centers, params, valid, cam0 = \
+                self._pools_to_arrays(pools, Tb)
             run = self._batched_estimator(cam0.model, Tb)
             res = run(jnp.asarray(lines), jnp.asarray(projs),
                       jnp.asarray(centers), jnp.asarray(params),
@@ -461,6 +472,11 @@ class IncrementalTriangulator:
                 seen_pids.add(pid)
                 tri_pids.append(pid)
         num_tris += self._complete_batch(options, tri_pids)
+        # Assemble every fresh pool against the post-complete state, then
+        # solve them ALL with one vmapped pixel-residual LORANSAC call
+        # (was: one ~26ms device dispatch per line — the second-hottest
+        # host path after the completion BFS).
+        fresh = []
         for line_idx in range(img.num_lines):
             pid = int(img.point3d_ids[line_idx])
             if pid >= 0:
@@ -471,25 +487,39 @@ class IncrementalTriangulator:
             pool, num_triangulated = found.get(line_idx, ([], 0))
             if num_triangulated or not pool:
                 continue
-            # Re-check against live state: earlier lines of this loop may
-            # have triangulated pool members since the snapshot.
             if any(self.rec.images[iid].point3d_ids[li] >= 0
                    for iid, li in pool):
                 continue
             full = pool + [(image_id, line_idx)]
             if len(full) < 3:
                 continue
-            res = self._robust_triangulate(full[:MAX_POOL], options, "pixel")
-            if not bool(res.success):
-                continue
+            fresh.append(full)
+        if fresh:
+            Tb = _bucket_t(len(fresh))
+            lines, projs, centers, params, valid, cam0 = \
+                self._pools_to_arrays(fresh, Tb)
+            run = self._batched_estimator(cam0.model, Tb, "pixel")
+            res = run(jnp.asarray(lines), jnp.asarray(projs),
+                      jnp.asarray(centers), jnp.asarray(params),
+                      jnp.asarray(valid), cam0.width, cam0.height,
+                      options.complete_max_reproj_error,
+                      np.deg2rad(options.min_angle))
+            success = np.asarray(res.success)
             inl = np.asarray(res.inlier_mask)
-            track = [full[i] for i in range(min(len(full), MAX_POOL))
-                     if inl[i]]
-            if len(track) < 2:
-                continue
-            pid = self.rec.add_point3d(np.asarray(res.point3d), track)
-            self.modified_point3d_ids.add(pid)
-            num_tris += len(track)
+            xyz = np.asarray(res.point3d)
+            for t, full in enumerate(fresh):
+                if not success[t]:
+                    continue
+                # Live claim check: an earlier pool in this batch may have
+                # claimed a shared observation.
+                track = [full[i] for i in range(min(len(full), MAX_POOL))
+                         if inl[t, i] and self.rec.images[full[i][0]]
+                         .point3d_ids[full[i][1]] < 0]
+                if len(track) < 2:
+                    continue
+                pid = self.rec.add_point3d(xyz[t], track)
+                self.modified_point3d_ids.add(pid)
+                num_tris += len(track)
         return num_tris
 
     def _complete(self, options: TriangulatorOptions, pid: int) -> int:
