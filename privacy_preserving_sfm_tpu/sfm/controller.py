@@ -178,10 +178,13 @@ class IncrementalMapperController:
         return ba_options
 
     def _fold_mapper_phases(self, mapper: IncrementalMapper, prefix: str):
-        for k, v in getattr(mapper, "_phase_times", {}).items():
+        tri_times = getattr(mapper.triangulator, "_phase_times", {})
+        for k, v in list(getattr(mapper, "_phase_times", {}).items()) \
+                + list(tri_times.items()):
             self.profiler.totals[f"{prefix}/{k}"] += v
             self.profiler.counts[f"{prefix}/{k}"] += 1
         mapper._phase_times = {}
+        mapper.triangulator._phase_times = {}
 
     def iterative_global_refinement(self, mapper: IncrementalMapper):
         self._fold_mapper_phases(mapper, "other")  # leftovers (init etc.)
@@ -303,6 +306,7 @@ class IncrementalMapperController:
                         with self.profiler.phase("triangulate"):
                             mapper.triangulate_image(
                                 self.options.triangulation, next_image_id)
+                        self._fold_mapper_phases(mapper, "triangulate")
                         with self.profiler.phase("local_refine"):
                             self.iterative_local_refinement(mapper,
                                                             next_image_id)

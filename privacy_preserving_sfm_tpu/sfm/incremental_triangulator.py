@@ -74,6 +74,15 @@ class IncrementalTriangulator:
         self._merge_trials: Dict[int, Set[int]] = {}
         self._jit_cache: Dict[Tuple, callable] = {}
         self._two_view_cache: Dict[int, np.ndarray] = {}
+        self._phase_times: Dict[str, float] = {}
+
+    def _tick(self, name: str, t0: float) -> float:
+        """Accumulate wall time into the sub-phase profile; returns now."""
+        import time as _time
+        now = _time.perf_counter()
+        self._phase_times[name] = self._phase_times.get(name, 0.0) \
+            + (now - t0)
+        return now
 
     # -- vectorized graph helpers ---------------------------------------
 
@@ -428,12 +437,16 @@ class IncrementalTriangulator:
             return num_tris
 
         # Pass 1: Find everything; Continue (cheap, state-dependent) first.
+        import time as _time
+        t0 = _time.perf_counter()
         found = []
-        for line_idx, pool, num_triangulated in self._find_all(options,
-                                                               image_id):
+        all_found = self._find_all(options, image_id)
+        t0 = self._tick("tri/find", t0)
+        for line_idx, pool, num_triangulated in all_found:
             if num_triangulated > 0:
                 num_tris += self._continue(options, image_id, line_idx, pool)
             found.append((line_idx, pool))
+        t0 = self._tick("tri/continue", t0)
 
         # Pass 2: assemble Create pools against the post-Continue state.
         pools = []
@@ -448,7 +461,9 @@ class IncrementalTriangulator:
                        for iid, li in create_pool):
                 continue
             pools.append(create_pool)
+        t0 = self._tick("tri/assemble", t0)
         num_tris += self._batched_create(options, pools)
+        self._tick("tri/create", t0)
         return num_tris
 
     def complete_image(self, options: TriangulatorOptions,
@@ -459,8 +474,11 @@ class IncrementalTriangulator:
         img = self.rec.images[image_id]
         if not img.registered:
             return 0
+        import time as _time
+        t0 = _time.perf_counter()
         found = {li: (pool, ntri)
                  for li, pool, ntri in self._find_all(options, image_id)}
+        t0 = self._tick("cmp/find", t0)
         # Complete every already-triangulated observation of the image in
         # one batched BFS (was: per-line _complete — the mapper's hottest
         # host loop), then grow fresh tracks over the remaining lines.
@@ -472,6 +490,7 @@ class IncrementalTriangulator:
                 seen_pids.add(pid)
                 tri_pids.append(pid)
         num_tris += self._complete_batch(options, tri_pids)
+        t0 = self._tick("cmp/bfs", t0)
         # Assemble every fresh pool against the post-complete state, then
         # solve them ALL with one vmapped pixel-residual LORANSAC call
         # (was: one ~26ms device dispatch per line — the second-hottest
@@ -520,6 +539,7 @@ class IncrementalTriangulator:
                 pid = self.rec.add_point3d(xyz[t], track)
                 self.modified_point3d_ids.add(pid)
                 num_tris += len(track)
+        self._tick("cmp/fresh", t0)
         return num_tris
 
     def _complete(self, options: TriangulatorOptions, pid: int) -> int:
