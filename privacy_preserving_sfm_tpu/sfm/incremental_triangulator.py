@@ -330,8 +330,72 @@ class IncrementalTriangulator:
             self._jit_cache[key] = jax.jit(run, static_argnums=(5, 6))
         return self._jit_cache[key]
 
+    def _flat_tables(self):
+        """Per-feature line table (static) + per-call pose/param tables.
+
+        Lines never change after extraction, so the (total_lines, 3) table
+        is built once; projection matrices/centers/params are refreshed
+        from the live reconstruction each call (cheap: one small matmul
+        per image)."""
+        view = self.view
+        if getattr(self, "_lines_flat", None) is None:
+            self._lines_flat = np.concatenate(
+                [np.asarray(self.rec.images[iid].lines)
+                 for iid in view.image_ids])
+        n_img = len(view.image_ids)
+        any_cam = next(iter(self.rec.cameras.values()))
+        n_par = len(any_cam.params)
+        proj = np.tile(np.eye(3, 4), (n_img, 1, 1))
+        centers = np.zeros((n_img, 3))
+        params = np.tile(any_cam.params, (n_img, 1))
+        for d, iid in enumerate(view.image_ids):
+            img = self.rec.images.get(iid)
+            if img is not None and img.registered:
+                proj[d] = img.projection_matrix()
+                centers[d] = img.projection_center()
+                params[d] = self.rec.cameras[img.camera_id].params
+        return self._lines_flat, proj, centers, params
+
     def _pools_to_arrays(self, pools, t_bucket: int):
-        """Pad T pools to (t_bucket, MAX_POOL) fixed-shape solver inputs."""
+        """Pad T pools to (t_bucket, MAX_POOL) fixed-shape solver inputs.
+
+        Vectorized: one flat-feature index list comprehension, then pure
+        fancy-indexed gathers from the flat tables (the previous per-row
+        numpy writes — ~300k single-element assignments per image — were
+        a top-3 mapper host cost)."""
+        view = self.view
+        if view is None:
+            return self._pools_to_arrays_slow(pools, t_bucket)
+        fo = view.feat_offset
+        dense = view.dense
+        lines_flat, proj_d, centers_d, params_d = self._flat_tables()
+        feat = np.fromiter(
+            (int(fo[dense[iid]]) + li
+             for pool in pools for iid, li in pool[:MAX_POOL]),
+            np.int64)
+        sizes = np.fromiter((min(len(p), MAX_POOL) for p in pools),
+                            np.int64, len(pools))
+        ptr = np.concatenate([[0], np.cumsum(sizes)])
+        t_idx = np.repeat(np.arange(len(pools)), sizes)
+        slot = np.arange(len(feat)) - ptr[:-1][t_idx]
+        img_d = np.searchsorted(fo, feat, "right") - 1
+
+        cam0 = self.rec.cameras[self.rec.images[pools[0][0][0]].camera_id]
+        lines = np.zeros((t_bucket, MAX_POOL, 3))
+        lines[..., 0] = 1.0
+        projs = np.tile(np.eye(3, 4), (t_bucket, MAX_POOL, 1, 1))
+        centers = np.zeros((t_bucket, MAX_POOL, 3))
+        valid = np.zeros((t_bucket, MAX_POOL), bool)
+        params = np.tile(cam0.params, (t_bucket, MAX_POOL, 1))
+        lines[t_idx, slot] = lines_flat[feat]
+        projs[t_idx, slot] = proj_d[img_d]
+        centers[t_idx, slot] = centers_d[img_d]
+        params[t_idx, slot] = params_d[img_d]
+        valid[t_idx, slot] = True
+        return lines, projs, centers, params, valid, cam0
+
+    def _pools_to_arrays_slow(self, pools, t_bucket: int):
+        """Per-row fallback when no CSR view exists (tiny graphs)."""
         lines = np.zeros((t_bucket, MAX_POOL, 3))
         lines[..., 0] = 1.0
         projs = np.tile(np.eye(3, 4), (t_bucket, MAX_POOL, 1, 1))
