@@ -255,107 +255,157 @@ class Reconstruction:
         n += self.filter_points3d_small_tri_angle(min_tri_angle_deg, ids)
         return n
 
+    def _flat_track_obs(self, pid_arr: np.ndarray):
+        """Flat (obs_img, obs_li, obs_idx) arrays for the tracks of the
+        sorted pid array, gathered from the per-image ``point3d_ids``
+        vectors (no per-observation Python).  ``obs_idx`` indexes into
+        ``pid_arr``.  Observations come out grouped by image."""
+        obs_img, obs_li, obs_idx, obs_al = [], [], [], []
+        for iid, img in self.images.items():
+            ids = img.point3d_ids
+            mask = ids >= 0
+            mask &= np.isin(ids, pid_arr)
+            li = np.nonzero(mask)[0]
+            if len(li) == 0:
+                continue
+            obs_img.append(np.full(len(li), iid, np.int64))
+            obs_li.append(li.astype(np.int64))
+            obs_idx.append(np.searchsorted(pid_arr, ids[li]))
+            obs_al.append(np.asarray(img.aligned[li], bool))
+        if not obs_img:
+            z = np.zeros(0, np.int64)
+            return z, z, z, np.zeros(0, bool)
+        return (np.concatenate(obs_img), np.concatenate(obs_li),
+                np.concatenate(obs_idx), np.concatenate(obs_al))
+
     def filter_points3d_large_reproj_error(
             self, max_reproj_error: float, point3d_ids: Set[int]) -> int:
         """Exact semantics of ``reconstruction.cc:657-720``: delete tracks
         with no random line or < 3 observations; then per-observation pixel
         error thresholding; delete the whole point when
-        #bad >= track_len - 3."""
+        #bad >= track_len - 3.  Fully vectorized: track membership is read
+        back from the per-image ``point3d_ids`` arrays and every per-point
+        decision is a bincount over the flat observation table."""
         max_sq = max_reproj_error ** 2
         num_filtered = 0
 
-        # Phase 1 (host bookkeeping): the no-random-line / short-track rule.
-        survivors = []
-        for pid in list(point3d_ids):
-            pt = self.points3d.get(pid)
-            if pt is None:
-                continue
-            have_random = any(
-                not self.images[iid].aligned[li] for iid, li in pt.track)
-            if not have_random or len(pt.track) < 3:
-                num_filtered += len(pt.track)
-                self.delete_point3d(pid)
-            else:
-                survivors.append(pid)
-        if not survivors:
+        pid_arr = np.array(sorted(p for p in point3d_ids
+                                  if p in self.points3d), np.int64)
+        if len(pid_arr) == 0:
+            return 0
+        obs_img, obs_li, obs_idx, aligned = self._flat_track_obs(pid_arr)
+        m = len(pid_arr)
+        track_len = np.bincount(obs_idx, minlength=m)
+        have_random = np.bincount(obs_idx, weights=~aligned,
+                                  minlength=m) > 0
+
+        # Phase 1: the no-random-line / short-track rule.
+        phase1_del = (~have_random) | (track_len < 3)
+        for k in np.nonzero(phase1_del)[0]:
+            num_filtered += int(track_len[k])
+            self.delete_point3d(int(pid_arr[k]))
+        keep_obs = ~phase1_del[obs_idx]
+        obs_img, obs_li, obs_idx = (obs_img[keep_obs], obs_li[keep_obs],
+                                    obs_idx[keep_obs])
+        if len(obs_idx) == 0:
             return num_filtered
 
         # Phase 2: one vectorized error evaluation over every observation
-        # of every surviving track (round-1 did one device call per obs).
-        obs_img, obs_li, obs_pid, xyz = [], [], [], []
-        for pid in survivors:
-            for iid, li in self.points3d[pid].track:
-                obs_img.append(iid)
-                obs_li.append(li)
-                obs_pid.append(pid)
-                xyz.append(self.points3d[pid].xyz)
-        errs = self.batch_squared_line_errors(
-            np.asarray(obs_img), np.asarray(obs_li), np.stack(xyz))
+        # of every surviving track.
+        xyz_tab = np.zeros((m, 3))
+        for k in np.nonzero(~phase1_del)[0]:
+            xyz_tab[k] = self.points3d[int(pid_arr[k])].xyz
+        errs = self.batch_squared_line_errors(obs_img, obs_li,
+                                              xyz_tab[obs_idx])
 
-        # Phase 3: per-point decisions, exact reference order of effects.
-        by_pid: Dict[int, List[int]] = {}
-        for k, pid in enumerate(obs_pid):
-            by_pid.setdefault(pid, []).append(k)
-        for pid in survivors:
-            idxs = by_pid[pid]
-            pt = self.points3d[pid]
-            bad = [k for k in idxs if errs[k] > max_sq]
-            if len(bad) >= len(idxs) - 3:
-                num_filtered += len(idxs)
-                self.delete_point3d(pid)
-            else:
-                num_filtered += len(bad)
-                for k in bad:
-                    self.delete_observation(obs_img[k], obs_li[k])
-                if pid in self.points3d:
-                    err_sum = sum(np.sqrt(errs[k]) for k in idxs
-                                  if errs[k] <= max_sq)
-                    pt.error = err_sum / len(pt.track)
+        # Phase 3: per-point decisions (independent across points, so the
+        # reference's per-track order of effects is preserved).
+        bad = errs > max_sq
+        bad_count = np.bincount(obs_idx, weights=bad, minlength=m)
+        kill = np.zeros(m, bool)
+        kill[~phase1_del] = (bad_count >= track_len - 3)[~phase1_del]
+        for k in np.nonzero(kill)[0]:
+            num_filtered += int(track_len[k])
+            self.delete_point3d(int(pid_arr[k]))
+        drop = bad & ~kill[obs_idx]
+        num_filtered += int(drop.sum())
+        for i, l in zip(obs_img[drop], obs_li[drop]):
+            self.delete_observation(int(i), int(l))
+        err_sum = np.bincount(obs_idx, weights=np.sqrt(errs) * ~bad,
+                              minlength=m)
+        for k in np.nonzero(~phase1_del & ~kill)[0]:
+            pt = self.points3d.get(int(pid_arr[k]))
+            if pt is not None and len(pt.track) > 0:
+                pt.error = err_sum[k] / len(pt.track)
         return num_filtered
 
     def filter_points3d_small_tri_angle(
             self, min_tri_angle_deg: float, point3d_ids: Set[int]) -> int:
         """``reconstruction.cc:594-654``: delete when no image pair in the
-        track reaches the minimum triangulation angle."""
+        track reaches the minimum triangulation angle.  Vectorized: distinct
+        (point, image) pairs are padded to a (points, T) table and all
+        pairwise angles evaluated by broadcasting, in point chunks."""
         from privacy_preserving_sfm_tpu.ops import lines_np
 
         min_rad = np.deg2rad(min_tri_angle_deg)
-        centers: Dict[int, np.ndarray] = {}
+        pid_arr = np.array(sorted(p for p in point3d_ids
+                                  if p in self.points3d), np.int64)
+        if len(pid_arr) == 0:
+            return 0
+        obs_img, _, obs_idx, _ = self._flat_track_obs(pid_arr)
+        m = len(pid_arr)
+        img_list = np.unique(obs_img)
+        n_img = len(img_list)
+        centers_tab = np.stack([
+            self.images[int(i)].projection_center() for i in img_list])
+        dense_img = np.searchsorted(img_list, obs_img)
+        uk = np.unique(obs_idx * n_img + dense_img)
+        p_of = uk // n_img
+        cnt = np.bincount(p_of, minlength=m)
+        T = max(int(cnt.max()), 1)
+        ptr = np.concatenate([[0], np.cumsum(cnt)])
+        slot = np.arange(len(uk)) - ptr[p_of]
+        C = np.zeros((m, T, 3))
+        valid = np.zeros((m, T), bool)
+        C[p_of, slot] = centers_tab[uk % n_img]
+        valid[p_of, slot] = True
+        xyz_tab = np.zeros((m, 3))
+        for k in range(m):
+            xyz_tab[k] = self.points3d[int(pid_arr[k])].xyz
+
+        keep = np.zeros(m, bool)
+        chunk = max(1, (1 << 21) // (T * T))  # ~16MB of f64 per chunk
+        for s in range(0, m, chunk):
+            Cc, Vc = C[s:s + chunk], valid[s:s + chunk]
+            ang = lines_np.triangulation_angle(
+                Cc[:, :, None, :], Cc[:, None, :, :],
+                xyz_tab[s:s + chunk, None, None, :])
+            pair_ok = Vc[:, :, None] & Vc[:, None, :]
+            pair_ok &= ~np.eye(T, dtype=bool)
+            keep[s:s + chunk] = np.any(pair_ok & (ang >= min_rad),
+                                       axis=(1, 2))
         num_filtered = 0
-        for pid in list(point3d_ids):
-            pt = self.points3d.get(pid)
-            if pt is None:
-                continue
-            track_imgs = sorted({iid for iid, _ in pt.track})
-            for iid in track_imgs:
-                if iid not in centers:
-                    centers[iid] = self.images[iid].projection_center()
-            C = np.stack([centers[iid] for iid in track_imgs])
-            iu, ju = np.triu_indices(len(track_imgs), k=1)
-            if len(iu) == 0:
-                keep = False
-            else:
-                angs = lines_np.triangulation_angle(C[iu], C[ju], pt.xyz)
-                keep = bool(np.any(angs >= min_rad))
-            if not keep:
-                num_filtered += 1
-                self.delete_point3d(pid)
+        for k in np.nonzero(~keep)[0]:
+            num_filtered += 1
+            self.delete_point3d(int(pid_arr[k]))
         return num_filtered
 
     def filter_observations_with_negative_depth(self) -> int:
         """``reconstruction.cc:442``-ish: drop observations behind camera."""
+        pid_arr = np.array(sorted(self.points3d.keys()), np.int64)
+        if len(pid_arr) == 0:
+            return 0
+        obs_img, obs_li, obs_idx, _ = self._flat_track_obs(pid_arr)
+        xyz_tab = np.stack([self.points3d[int(p)].xyz for p in pid_arr])
+        z = np.empty(len(obs_img))
+        for iid in np.unique(obs_img):
+            sel = obs_img == iid
+            proj = self.images[int(iid)].projection_matrix()
+            z[sel] = xyz_tab[obs_idx[sel]] @ proj[2, :3] + proj[2, 3]
         n = 0
-        for pid in list(self.points3d.keys()):
-            pt = self.points3d.get(pid)
-            if pt is None:
-                continue
-            for iid, li in list(pt.track):
-                img = self.images[iid]
-                proj = img.projection_matrix()
-                z = proj[2, :3] @ pt.xyz + proj[2, 3]
-                if z <= 0:
-                    self.delete_observation(iid, li)
-                    n += 1
+        for i, l in zip(obs_img[z <= 0], obs_li[z <= 0]):
+            self.delete_observation(int(i), int(l))
+            n += 1
         return n
 
     def filter_images(self, min_focal_ratio=0.1, max_focal_ratio=10.0,
