@@ -65,6 +65,11 @@ class BAOptions(NamedTuple):
     min_lambda: float = 1e-10
     max_lambda: float = 1e10
     function_tolerance: float = 1e-8
+    # Ceres-style termination on the max-abs gradient entry (the reference
+    # runs its mapper BAs with function_tolerance=0 and gradient_tolerance
+    # 10 (local) / 1 (global), controllers/incremental_mapper.cc:199-226 —
+    # local bundles exit after a handful of LM iterations).  0 disables.
+    gradient_tolerance: float = 0.0
     # Dense-block solver only: camera-bin reduction strategy.  "onehot"
     # contracts (C, P*K) @ (P*K, n) on the MXU (wastes a factor C of
     # FLOPs but measured faster on TPU v5e than "gather", the per-camera
@@ -274,6 +279,13 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
     def lm_body(state):
         qvecs, tvecs, points, lam, cost, it, stall = state
         Hcc, Hpp, Hcp_o, gc, gp = build_normal(qvecs, tvecs, points)
+        if options.gradient_tolerance > 0:
+            g_max = jnp.maximum(
+                jnp.max(jnp.abs(gc * problem.cam_dof_mask)),
+                jnp.max(jnp.abs(gp * problem.point_mask[:, None])))
+            grad_done = g_max <= options.gradient_tolerance
+        else:
+            grad_done = jnp.asarray(False)
         dc, dp = solve_step(Hcc, Hpp, Hcp_o, gc, gp, lam)
         # Descent direction: parameters move by -d.
         dc_m = dc * problem.cam_dof_mask
@@ -291,6 +303,7 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
                         jnp.minimum(lam * 4.0, options.max_lambda))
         converged = accept & (rel_decrease < options.function_tolerance)
         stall = jnp.where(converged, stall + 1, jnp.where(accept, 0, stall))
+        stall = jnp.where(grad_done, 2, stall)
         return qvecs, tvecs, points, lam, cost, it + 1, stall
 
     def lm_cond(state):

@@ -365,6 +365,13 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
     def lm_body(state):
         q, t, X, lam, c, it, stall = state
         Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp = build_normal(q, t, X)
+        if options.gradient_tolerance > 0:
+            g_max = jnp.maximum(
+                jnp.max(jnp.abs(gc * problem.cam_dof_mask)),
+                jnp.max(jnp.abs(gp * problem.point_mask[:, None])))
+            grad_done = g_max <= options.gradient_tolerance
+        else:
+            grad_done = jnp.asarray(False)
         dc, dp = solve_step(Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp, lam)
         dc_m = dc * problem.cam_dof_mask
         dp_m = dp * problem.point_mask[:, None]
@@ -381,6 +388,7 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
                         jnp.minimum(lam * 4.0, options.max_lambda))
         conv = accept & (rel < options.function_tolerance)
         stall = jnp.where(conv, stall + 1, jnp.where(accept, 0, stall))
+        stall = jnp.where(grad_done, 2, stall)
         return q, t, X, lam, c, it + 1, stall
 
     def lm_cond(state):

@@ -67,14 +67,19 @@ class ControllerOptions:
     verbose: bool = True
 
     def local_ba_options(self) -> ba_mod.BAOptions:
+        # function_tolerance=0 + gradient_tolerance=10: the reference's
+        # local-BA termination (controllers/incremental_mapper.cc:199-203)
+        # — local bundles exit after a few LM iterations.
         return ba_mod.BAOptions(
             max_iterations=self.ba_local_max_num_iterations,
-            loss="soft_l1", loss_scale=1.0)
+            loss="soft_l1", loss_scale=1.0,
+            function_tolerance=0.0, gradient_tolerance=10.0)
 
     def global_ba_options(self) -> ba_mod.BAOptions:
         return ba_mod.BAOptions(
             max_iterations=self.ba_global_max_num_iterations,
-            loss="trivial")
+            loss="trivial",
+            function_tolerance=0.0, gradient_tolerance=1.0)
 
 
 class IncrementalMapperController:
@@ -144,9 +149,22 @@ class IncrementalMapperController:
 
     # -- refinement loops ------------------------------------------------
 
+    def _local_ba_options(self, mapper: IncrementalMapper):
+        """Local BA options; the reference tightens BOTH local and global
+        BA while the model is small (controllers/incremental_mapper.cc:
+        55-66): 2x iterations, 10x tighter function tolerance below 10
+        registered images."""
+        ba_options = self.options.local_ba_options()
+        if mapper.rec.num_registered() < 10:
+            ba_options = ba_options._replace(
+                max_iterations=ba_options.max_iterations * 2,
+                function_tolerance=ba_options.function_tolerance / 10,
+                gradient_tolerance=ba_options.gradient_tolerance / 10)
+        return ba_options
+
     def iterative_local_refinement(self, mapper: IncrementalMapper,
                                    image_id: int):
-        ba_options = self.options.local_ba_options()
+        ba_options = self._local_ba_options(mapper)
         for i in range(self.options.ba_local_max_refinements):
             report = mapper.adjust_local_bundle(
                 self.options.mapper, ba_options, self.options.triangulation,
@@ -174,7 +192,8 @@ class IncrementalMapperController:
         if mapper.rec.num_registered() < 10:
             ba_options = ba_options._replace(
                 max_iterations=ba_options.max_iterations * 2,
-                function_tolerance=ba_options.function_tolerance / 10)
+                function_tolerance=ba_options.function_tolerance / 10,
+                gradient_tolerance=ba_options.gradient_tolerance / 10)
         return ba_options
 
     def _fold_mapper_phases(self, mapper: IncrementalMapper, prefix: str):

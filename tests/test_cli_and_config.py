@@ -170,3 +170,32 @@ class TestResume:
         assert len(rec.points3d) == 10
         np.testing.assert_allclose(rec.images[image_ids[1]].tvec, ts[1],
                                    atol=1e-12)
+
+
+class TestSmallModelStrictness:
+    """controllers/incremental_mapper.cc:55-66: below 10 registered images
+    BOTH local and global BA get 2x iterations and 10x tighter tolerance."""
+
+    def _controller_and_mapper(self, num_registered):
+        import types
+
+        from privacy_preserving_sfm_tpu.sfm.controller import (
+            ControllerOptions, IncrementalMapperController)
+        ctrl = IncrementalMapperController.__new__(IncrementalMapperController)
+        ctrl.options = ControllerOptions()
+        mapper = types.SimpleNamespace(
+            rec=types.SimpleNamespace(num_registered=lambda: num_registered))
+        return ctrl, mapper
+
+    @pytest.mark.parametrize("which", ["local", "global"])
+    def test_tightened_below_10(self, which):
+        ctrl, small = self._controller_and_mapper(6)
+        _, big = self._controller_and_mapper(12)
+        get = getattr(ctrl, f"_{which}_ba_options")
+        base = getattr(ctrl.options, f"{which}_ba_options")()
+        tight, loose = get(small), get(big)
+        assert loose == base
+        assert tight.max_iterations == 2 * base.max_iterations
+        assert tight.function_tolerance == base.function_tolerance / 10
+        assert tight.gradient_tolerance == base.gradient_tolerance / 10
+        assert base.gradient_tolerance == (10.0 if which == "local" else 1.0)
