@@ -277,8 +277,16 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
                   camera_model, options.loss, options.loss_scale)
 
     def lm_body(state):
-        qvecs, tvecs, points, lam, cost, it, stall = state
-        Hcc, Hpp, Hcp_o, gc, gp = build_normal(qvecs, tvecs, points)
+        qvecs, tvecs, points, lam, cost, it, stall, rebuild, normal = state
+        # Re-linearize only after an accepted step; a rejected step reuses
+        # the cached normal equations with a larger lambda (Ceres keeps the
+        # Jacobian across unsuccessful trust-region iterations).
+        normal = jax.lax.cond(
+            rebuild,
+            lambda args: build_normal(*args),
+            lambda args: normal,
+            (qvecs, tvecs, points))
+        Hcc, Hpp, Hcp_o, gc, gp = normal
         if options.gradient_tolerance > 0:
             g_max = jnp.maximum(
                 jnp.max(jnp.abs(gc * problem.cam_dof_mask)),
@@ -304,18 +312,24 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
         converged = accept & (rel_decrease < options.function_tolerance)
         stall = jnp.where(converged, stall + 1, jnp.where(accept, 0, stall))
         stall = jnp.where(grad_done, 2, stall)
-        return qvecs, tvecs, points, lam, cost, it + 1, stall
+        return (qvecs, tvecs, points, lam, cost, it + 1, stall, accept,
+                normal)
 
     def lm_cond(state):
-        *_, lam, cost, it, stall = state
+        lam, cost, it, stall = state[3], state[4], state[5], state[6]
         return (it < options.max_iterations) & (stall < 2) & (
             lam < options.max_lambda * 0.99)
 
+    normal0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(build_normal, problem.qvecs, problem.tvecs,
+                       problem.points3d))
     init = (problem.qvecs, problem.tvecs, problem.points3d,
             jnp.asarray(options.initial_lambda, dtype), cost0,
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    qvecs, tvecs, points, lam, cost, it, _ = jax.lax.while_loop(
-        lm_cond, lm_body, init)
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(True), normal0)
+    qvecs, tvecs, points, lam, cost, it = jax.lax.while_loop(
+        lm_cond, lm_body, init)[:6]
 
     summary = BASummary(initial_cost=cost0, final_cost=cost,
                         num_iterations=it, lam=lam)

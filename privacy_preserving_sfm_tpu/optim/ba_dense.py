@@ -363,8 +363,15 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
                   camera_model, options.loss, options.loss_scale)
 
     def lm_body(state):
-        q, t, X, lam, c, it, stall = state
-        Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp = build_normal(q, t, X)
+        q, t, X, lam, c, it, stall, rebuild, normal = state
+        # Re-linearize only after an accepted step (Ceres keeps the
+        # Jacobian across unsuccessful trust-region iterations).
+        normal = jax.lax.cond(
+            rebuild,
+            lambda args: build_normal(*args),
+            lambda args: normal,
+            (q, t, X))
+        Hcc, Hpp, Hcp_o, Hcp_cam, gc, gp = normal
         if options.gradient_tolerance > 0:
             g_max = jnp.maximum(
                 jnp.max(jnp.abs(gc * problem.cam_dof_mask)),
@@ -389,17 +396,22 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
         conv = accept & (rel < options.function_tolerance)
         stall = jnp.where(conv, stall + 1, jnp.where(accept, 0, stall))
         stall = jnp.where(grad_done, 2, stall)
-        return q, t, X, lam, c, it + 1, stall
+        return q, t, X, lam, c, it + 1, stall, accept, normal
 
     def lm_cond(state):
-        *_, lam, c, it, stall = state
+        lam, c, it, stall = state[3], state[4], state[5], state[6]
         return (it < options.max_iterations) & (stall < 2) & (
             lam < options.max_lambda * 0.99)
 
+    normal0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(build_normal, problem.qvecs, problem.tvecs,
+                       problem.points3d))
     init = (problem.qvecs, problem.tvecs, problem.points3d,
             jnp.asarray(options.initial_lambda, dtype), cost0,
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    q, t, X, lam, c, it, _ = jax.lax.while_loop(lm_cond, lm_body, init)
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(True), normal0)
+    q, t, X, lam, c, it = jax.lax.while_loop(lm_cond, lm_body, init)[:6]
     summary = ba_mod.BASummary(initial_cost=cost0, final_cost=c,
                                num_iterations=it, lam=lam)
     return q, t, X, summary

@@ -233,8 +233,24 @@ def bundle_adjust_sharded(problem: ba_mod.BAProblem, mesh: Mesh,
         cost0 = cost(qvecs, tvecs, points)
 
         def lm_body(state):
-            q, t, X, lam, c, it, stall = state
-            Hcc, Hpp, Hcp_o, gc, gp = build(q, t, X)
+            q, t, X, lam, c, it, stall, rebuild, normal = state
+            # Re-linearize only after an accepted step (mirrors optim/ba).
+            normal = jax.lax.cond(
+                rebuild,
+                lambda args: build(*args),
+                lambda args: normal,
+                (q, t, X))
+            Hcc, Hpp, Hcp_o, gc, gp = normal
+            if options.gradient_tolerance > 0:
+                g_max = jnp.maximum(
+                    jnp.max(jnp.abs(gc * dof_mask)),
+                    jnp.max(jnp.abs(gp * point_mask[:, None])))
+                # Camera gradients are replicated post-psum; the point-max
+                # must still be reduced across shards.
+                g_max = jax.lax.pmax(g_max, axis)
+                grad_done = g_max <= options.gradient_tolerance
+            else:
+                grad_done = jnp.asarray(False)
             dc, dp = solve_step(Hcc, Hpp, Hcp_o, gc, gp, lam)
             dc_m = dc * dof_mask
             dp_m = dp * point_mask[:, None]
@@ -251,17 +267,30 @@ def bundle_adjust_sharded(problem: ba_mod.BAProblem, mesh: Mesh,
                             jnp.minimum(lam * 4.0, options.max_lambda))
             conv = accept & (rel < options.function_tolerance)
             stall = jnp.where(conv, stall + 1, jnp.where(accept, 0, stall))
-            return q, t, X, lam, c, it + 1, stall
+            stall = jnp.where(grad_done, 2, stall)
+            return q, t, X, lam, c, it + 1, stall, accept, normal
 
         def lm_cond(state):
-            *_, lam, c, it, stall = state
+            lam, c, it, stall = state[3], state[4], state[5], state[6]
             return (it < options.max_iterations) & (stall < 2) & (
                 lam < options.max_lambda * 0.99)
 
+        normal0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(build, qvecs, tvecs, points))
+        # Hcc/gc come out of build() psum'd (replicated); Hpp/Hcp_o/gp are
+        # shard-varying.  The zero seeds must carry the same varying axes
+        # for the lax.cond branches to type-check under shard_map.
+        Hcc0, Hpp0, Hcp0, gc0, gp0 = normal0
+        normal0 = (Hcc0, jax.lax.pcast(Hpp0, axis, to="varying"),
+                   jax.lax.pcast(Hcp0, axis, to="varying"), gc0,
+                   jax.lax.pcast(gp0, axis, to="varying"))
         init = (qvecs, tvecs, points,
                 jnp.asarray(options.initial_lambda, dtype), cost0,
-                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        q, t, X, lam, c, it, _ = jax.lax.while_loop(lm_cond, lm_body, init)
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(True), normal0)
+        q, t, X, lam, c, it = jax.lax.while_loop(lm_cond, lm_body,
+                                                 init)[:6]
         summary = ba_mod.BASummary(initial_cost=cost0, final_cost=c,
                                    num_iterations=it, lam=lam)
         return q, t, X, summary
