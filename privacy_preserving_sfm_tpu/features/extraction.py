@@ -42,8 +42,16 @@ def load_image_grayscale(path: str) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        g = im.convert("L")
-        return np.asarray(g, dtype=np.float32) / 255.0
+        return np.asarray(im.convert("L"), dtype=np.float32) / 255.0
+
+
+def load_image_grayscale_u8(path: str) -> np.ndarray:
+    """Grayscale uint8 (device upload stays 1 byte/px; the jitted
+    front-end normalizes on device)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def read_gravity_file(image_path: str) -> Optional[np.ndarray]:
@@ -142,8 +150,11 @@ def resize_to_max(image: np.ndarray, max_size: int):
         return image, 1.0
     scale = max_size / max(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    out = jax.image.resize(jnp.asarray(image), (nh, nw), "bilinear")
-    return np.asarray(out), scale
+    out = np.asarray(jax.image.resize(
+        jnp.asarray(image, jnp.float32), (nh, nw), "bilinear"))
+    if image.dtype == np.uint8:
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out, scale
 
 
 def aligned_split_mask(key: jax.Array, valid: jax.Array,
@@ -203,6 +214,10 @@ def extract_and_lift(
     pixels are dropped (``image_reader.cc:42-50`` semantics).
     """
     k_sift, k_lift = jax.random.split(key)
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        # Accept uint8 uploads (4x less host->device traffic than f32;
+        # matters through the remote-TPU tunnel) and normalize on device.
+        image = image.astype(jnp.float32) / 255.0
     feats = sift_mod.extract_sift(image, sift_options)
     if mask is not None:
         h, w = image.shape

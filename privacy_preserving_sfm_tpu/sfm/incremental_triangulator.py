@@ -429,14 +429,17 @@ class IncrementalTriangulator:
         Leftover pools (>= 3 unclaimed observations) re-run in following
         rounds, mirroring the recursive re-create.
         """
+        import time as _time
         num_tris = 0
         rounds = 0
         while pools and rounds < 4:
             rounds += 1
             T = len(pools)
             Tb = _bucket_t(T)
+            t0 = _time.perf_counter()
             lines, projs, centers, params, valid, cam0 = \
                 self._pools_to_arrays(pools, Tb)
+            t0 = self._tick("tri/create_pack", t0)
             run = self._batched_estimator(cam0.model, Tb)
             res = run(jnp.asarray(lines), jnp.asarray(projs),
                       jnp.asarray(centers), jnp.asarray(params),
@@ -446,6 +449,7 @@ class IncrementalTriangulator:
             success = np.asarray(res.success)
             inl = np.asarray(res.inlier_mask)
             xyz = np.asarray(res.point3d)
+            t0 = self._tick("tri/create_solve", t0)
 
             next_pools = []
             for t, pool in enumerate(pools):
@@ -466,6 +470,7 @@ class IncrementalTriangulator:
                         not self.rec.images[iid].aligned[li]
                         for iid, li in leftovers):
                     next_pools.append(leftovers)
+            self._tick("tri/create_apply", t0)
             pools = next_pools
         return num_tris
 
@@ -581,6 +586,7 @@ class IncrementalTriangulator:
             Tb = _bucket_t(len(fresh))
             lines, projs, centers, params, valid, cam0 = \
                 self._pools_to_arrays(fresh, Tb)
+            t0 = self._tick("cmp/fresh_pack", t0)
             run = self._batched_estimator(cam0.model, Tb, "pixel")
             res = run(jnp.asarray(lines), jnp.asarray(projs),
                       jnp.asarray(centers), jnp.asarray(params),
@@ -590,6 +596,7 @@ class IncrementalTriangulator:
             success = np.asarray(res.success)
             inl = np.asarray(res.inlier_mask)
             xyz = np.asarray(res.point3d)
+            t0 = self._tick("cmp/fresh_solve", t0)
             for t, full in enumerate(fresh):
                 if not success[t]:
                     continue
