@@ -373,17 +373,19 @@ class Reconstruction:
         for k in range(m):
             xyz_tab[k] = self.points3d[int(pid_arr[k])].xyz
 
-        keep = np.zeros(m, bool)
-        chunk = max(1, (1 << 21) // (T * T))  # ~16MB of f64 per chunk
-        for s in range(0, m, chunk):
-            Cc, Vc = C[s:s + chunk], valid[s:s + chunk]
-            ang = lines_np.triangulation_angle(
-                Cc[:, :, None, :], Cc[:, None, :, :],
-                xyz_tab[s:s + chunk, None, None, :])
-            pair_ok = Vc[:, :, None] & Vc[:, None, :]
-            pair_ok &= ~np.eye(T, dtype=bool)
-            keep[s:s + chunk] = np.any(pair_ok & (ang >= min_rad),
-                                       axis=(1, 2))
+        # angle(i,j) >= min_rad  <=>  |cos| of the ray pair <= cos(min_rad)
+        # (the tri angle is folded into [0, pi/2]); one batched f32 Gram
+        # matmul replaces the elementwise law-of-cosines over (m, T, T).
+        rays = C - xyz_tab[:, None, :]
+        nrm = np.linalg.norm(rays, axis=-1)
+        ok = valid & (nrm > 1e-12)
+        u = np.where(ok[..., None], rays / np.maximum(nrm, 1e-30)[..., None],
+                     0.0).astype(np.float32)
+        G = np.abs(np.matmul(u, u.transpose(0, 2, 1)))  # batched BLAS
+        pair_ok = ok[:, :, None] & ok[:, None, :]
+        pair_ok &= ~np.eye(T, dtype=bool)
+        G[~pair_ok] = 2.0
+        keep = G.min(axis=(1, 2)) <= np.cos(min_rad)
         num_filtered = 0
         for k in np.nonzero(~keep)[0]:
             num_filtered += 1
