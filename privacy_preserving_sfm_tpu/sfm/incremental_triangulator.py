@@ -823,7 +823,7 @@ def _estimate_triangulation_pixel(lines, proj, centers, params, valid,
     s_lines = lines[combos]
     s_proj = proj[combos]
     s_centers = centers[combos]
-    X = tri_ops.triangulate_multiview_lines(s_proj, s_lines)
+    X = tri_ops.triangulate_three_lines(s_proj, s_lines)
     xyz = jnp.einsum("cnij,cj->cni", s_proj[..., :3], X) + s_proj[..., 3]
     cheiral = jnp.all(xyz[..., 2] > 0, axis=-1)
     ang01 = tri_ops.triangulation_angle(s_centers[:, 0], s_centers[:, 1], X)

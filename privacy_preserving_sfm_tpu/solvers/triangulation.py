@@ -118,7 +118,7 @@ def estimate_triangulation(
     s_proj = proj[combos]        # (C, 3, 3, 4)
     s_centers = centers[combos]  # (C, 3, 3)
 
-    X = tri_ops.triangulate_multiview_lines(s_proj, s_lines)  # (C, 3)
+    X = tri_ops.triangulate_three_lines(s_proj, s_lines)  # (C, 3)
 
     # Per-sample gates: cheirality in each sampled view + pairwise angles.
     xyz = jnp.einsum("cnij,cj->cni", s_proj[..., :3], X) + s_proj[..., 3]
