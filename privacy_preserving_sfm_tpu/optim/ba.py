@@ -70,6 +70,12 @@ class BAOptions(NamedTuple):
     # 10 (local) / 1 (global), controllers/incremental_mapper.cc:199-226 —
     # local bundles exit after a handful of LM iterations).  0 disables.
     gradient_tolerance: float = 0.0
+    # Give up after this many consecutive rejected steps: each rejection
+    # grows lambda 4x, so 8 rejections = damping x65k with no cost
+    # decrease — the solve is at a (numerical) local minimum.  Without
+    # this, an already-converged problem burns ~29 iterations waiting for
+    # lambda to hit max_lambda (measured on the box-scene global BA).
+    max_consecutive_rejections: int = 8
     # Dense-block solver only: camera-bin reduction strategy.  "onehot"
     # contracts (C, P*K) @ (P*K, n) on the MXU (wastes a factor C of
     # FLOPs but measured faster on TPU v5e than "gather", the per-camera
@@ -277,7 +283,8 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
                   camera_model, options.loss, options.loss_scale)
 
     def lm_body(state):
-        qvecs, tvecs, points, lam, cost, it, stall, rebuild, normal = state
+        (qvecs, tvecs, points, lam, cost, it, stall, rebuild, rej,
+         normal) = state
         # Re-linearize only after an accepted step; a rejected step reuses
         # the cached normal equations with a larger lambda (Ceres keeps the
         # Jacobian across unsuccessful trust-region iterations).
@@ -312,8 +319,11 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
         converged = accept & (rel_decrease < options.function_tolerance)
         stall = jnp.where(converged, stall + 1, jnp.where(accept, 0, stall))
         stall = jnp.where(grad_done, 2, stall)
+        rej = jnp.where(accept, 0, rej + 1)
+        stall = jnp.where(rej >= options.max_consecutive_rejections, 2,
+                          stall)
         return (qvecs, tvecs, points, lam, cost, it + 1, stall, accept,
-                normal)
+                rej, normal)
 
     def lm_cond(state):
         lam, cost, it, stall = state[3], state[4], state[5], state[6]
@@ -327,7 +337,7 @@ def bundle_adjust(problem: BAProblem, camera_model: str,
     init = (problem.qvecs, problem.tvecs, problem.points3d,
             jnp.asarray(options.initial_lambda, dtype), cost0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(True), normal0)
+            jnp.asarray(True), jnp.asarray(0, jnp.int32), normal0)
     qvecs, tvecs, points, lam, cost, it = jax.lax.while_loop(
         lm_cond, lm_body, init)[:6]
 

@@ -233,7 +233,7 @@ def bundle_adjust_sharded(problem: ba_mod.BAProblem, mesh: Mesh,
         cost0 = cost(qvecs, tvecs, points)
 
         def lm_body(state):
-            q, t, X, lam, c, it, stall, rebuild, normal = state
+            q, t, X, lam, c, it, stall, rebuild, rej, normal = state
             # Re-linearize only after an accepted step (mirrors optim/ba).
             normal = jax.lax.cond(
                 rebuild,
@@ -268,7 +268,10 @@ def bundle_adjust_sharded(problem: ba_mod.BAProblem, mesh: Mesh,
             conv = accept & (rel < options.function_tolerance)
             stall = jnp.where(conv, stall + 1, jnp.where(accept, 0, stall))
             stall = jnp.where(grad_done, 2, stall)
-            return q, t, X, lam, c, it + 1, stall, accept, normal
+            rej = jnp.where(accept, 0, rej + 1)
+            stall = jnp.where(rej >= options.max_consecutive_rejections, 2,
+                              stall)
+            return q, t, X, lam, c, it + 1, stall, accept, rej, normal
 
         def lm_cond(state):
             lam, c, it, stall = state[3], state[4], state[5], state[6]
@@ -288,7 +291,7 @@ def bundle_adjust_sharded(problem: ba_mod.BAProblem, mesh: Mesh,
         init = (qvecs, tvecs, points,
                 jnp.asarray(options.initial_lambda, dtype), cost0,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                jnp.asarray(True), normal0)
+                jnp.asarray(True), jnp.asarray(0, jnp.int32), normal0)
         q, t, X, lam, c, it = jax.lax.while_loop(lm_cond, lm_body,
                                                  init)[:6]
         summary = ba_mod.BASummary(initial_cost=cost0, final_cost=c,

@@ -708,9 +708,9 @@ class IncrementalMapper:
         cam_index = {iid: i for i, iid in enumerate(cam_list)}
         # Bucket every axis (cameras, points, observations) so repeated
         # local/global BAs reuse a handful of compiled LM kernels.
-        C = _bucket(len(cam_list), 4)
-        P = _bucket(len(point_ids), 32)
-        O = _bucket(len(obs))
+        C = _bucket(len(cam_list), 4, knee=16)
+        P = _bucket(len(point_ids), 32, knee=4096)
+        O = _bucket(len(obs), knee=32768)
 
         camera0 = rec.cameras[rec.images[cam_list[0]].camera_id]
         n_params = len(camera0.params)
@@ -830,9 +830,15 @@ class IncrementalMapper:
                                         options.filter_min_tri_angle)
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
-    """Round up to the next power of two (bounded recompiles)."""
+def _bucket(n: int, minimum: int = 64, knee: int = 1 << 30) -> int:
+    """Round up to the next power of two, switching to multiples of
+    ``knee`` past it: pow2 growth doubles the padding waste on the big
+    (late-pipeline) global BAs, where a linear grid costs a few extra
+    compiles (amortized by the persistent cache) but halves the padded
+    work."""
     b = minimum
-    while b < n:
+    while b < n and b < knee:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return ((n + knee - 1) // knee) * knee
