@@ -32,27 +32,40 @@ class MatchResult(NamedTuple):
     best_dist: jax.Array  # (N1,) angular distance of the best candidate
 
 
-def descriptor_distances(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
-    """Angular distance matrix acos(clip(d1 . d2 / 512^2)). (N1,N2) f32.
+def descriptor_dots(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
+    """Raw dot-product matrix d1 . d2, (N1, N2) f32 (LARGER = closer).
 
     Inputs are uint8 descriptors; the matmul runs in f32 on the MXU
     (int8 inputs upcast — contraction dim 128 matches the MXU tile).
     """
     d1 = desc1.astype(jnp.float32)
     d2 = desc2.astype(jnp.float32)
-    dots = jax.lax.dot_general(
+    return jax.lax.dot_general(
         d1, d2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def descriptor_distances(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
+    """Angular distance matrix acos(clip(d1 . d2 / 512^2)). (N1,N2) f32."""
+    return _to_angle(descriptor_dots(desc1, desc2))
+
+
+def _to_angle(dots: jax.Array) -> jax.Array:
     return jnp.arccos(jnp.clip(dots * DIST_NORM, -1.0, 1.0))
 
 
-def _top2_min(dists: jax.Array, axis: int):
-    """Smallest and second-smallest along axis, with argmin of the smallest."""
-    best_idx = jnp.argmin(dists, axis=axis)
-    best = jnp.min(dists, axis=axis)
-    masked = jnp.where(
-        jax.nn.one_hot(best_idx, dists.shape[axis], axis=axis, dtype=bool),
-        BIG, dists)
-    second = jnp.min(masked, axis=axis)
+def _top2_max(dots: jax.Array, axis: int):
+    """Largest and second-largest along axis, with argmax of the largest.
+
+    acos is monotonically decreasing, so the top-2 dots ARE the top-2
+    nearest neighbors; the transcendental is applied to 2N scalars
+    afterwards instead of the full N^2 matrix (which dominated CPU
+    matching time).
+    """
+    best_idx = jnp.argmax(dots, axis=axis)
+    best = jnp.max(dots, axis=axis)
+    iota = jax.lax.broadcasted_iota(jnp.int32, dots.shape, axis)
+    masked = jnp.where(iota == jnp.expand_dims(best_idx, axis), -BIG, dots)
+    second = jnp.max(masked, axis=axis)
     return best, second, best_idx
 
 
@@ -69,17 +82,19 @@ def match_descriptors(
 
     Defaults are ``SiftMatchingOptions`` (``sift.h:117-144``).
     """
-    dists = descriptor_distances(desc1, desc2)  # (N1, N2)
+    dots = descriptor_dots(desc1, desc2)  # (N1, N2), larger = closer
     if valid1 is not None:
-        dists = jnp.where(valid1[:, None], dists, BIG)
+        dots = jnp.where(valid1[:, None], dots, -BIG)
     if valid2 is not None:
-        dists = jnp.where(valid2[None, :], dists, BIG)
+        dots = jnp.where(valid2[None, :], dots, -BIG)
 
-    best12, second12, idx12 = _top2_min(dists, axis=1)
+    bd12, sd12, idx12 = _top2_max(dots, axis=1)
+    best12, second12 = _to_angle(bd12), _to_angle(sd12)
     ok = (best12 < max_distance) & (best12 < max_ratio * second12)
 
     if cross_check:
-        best21, second21, idx21 = _top2_min(dists, axis=0)
+        bd21, sd21, idx21 = _top2_max(dots, axis=0)
+        best21, second21 = _to_angle(bd21), _to_angle(sd21)
         ok21 = (best21 < max_distance) & (best21 < max_ratio * second21)
         mutual = (jnp.take(idx21, idx12) == jnp.arange(idx12.shape[0])) \
             & jnp.take(ok21, idx12)
