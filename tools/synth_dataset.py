@@ -85,6 +85,8 @@ def _render_box_view(K, R, t, textures, width, height, cv2):
 def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
                  f=400.0, seed=0, scene: str = "plane"):
     import cv2
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # data prep is host work
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
