@@ -146,3 +146,78 @@ def test_batch_errors_match_scalar():
         single = rec._squared_line_reproj_error(
             rec.images[int(obs_img[k])], int(obs_li[k]), xyz[k])
         np.testing.assert_allclose(batch[k], single, rtol=1e-12)
+
+
+def test_batched_complete_and_merge_match_per_point(tmp_path):
+    """The vectorized _complete_batch / _merge_batch paths must produce the
+    same tracks as the per-point reference implementations (view=None) when
+    no claims are contested."""
+    import copy
+
+    from privacy_preserving_sfm_tpu.models.database import Database
+    from privacy_preserving_sfm_tpu.models.database_cache import DatabaseCache
+    from privacy_preserving_sfm_tpu.sfm.incremental_triangulator import (
+        IncrementalTriangulator, TriangulatorOptions,
+    )
+    from tests.test_e2e_synthetic import build_synthetic_db
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "db.db")
+    qs, ts, pts, image_ids = build_synthetic_db(
+        path, rng, num_images=8, num_points=120, drop_prob=0.15)
+    with Database(path) as db:
+        cache = DatabaseCache.load(db, min_num_matches=15)
+
+    def fresh_rec():
+        rec = cache.to_reconstruction()
+        for k, iid in enumerate(image_ids):
+            img = rec.images[iid]
+            img.qvec = np.array(qs[k])
+            img.tvec = np.array(ts[k])
+            img.point3d_ids = np.full(img.num_lines, -1, np.int64)
+            rec.register_image(iid)
+        # Points 0..39: partial tracks (first two visible views only) ->
+        # complete() must grow them.  Points 60..79: the visible views
+        # split into two half-tracks on slightly different points ->
+        # merge() must fuse them.
+        for j in range(40):
+            track = [(iid, j) for iid in image_ids
+                     if rec.images[iid].point3d_ids[j] < 0
+                     and len(cache.graph.find_correspondences(iid, j)) > 0]
+            if len(track) >= 4:
+                rec.add_point3d(pts[j], track[:2])
+        for j in range(60, 80):
+            track = [(iid, j) for iid in image_ids
+                     if len(cache.graph.find_correspondences(iid, j)) > 0]
+            if len(track) >= 4:
+                h = len(track) // 2
+                rec.add_point3d(pts[j] + 1e-4, track[:h])
+                rec.add_point3d(pts[j] - 1e-4, track[h:])
+        return rec
+
+    def track_multiset(rec):
+        return sorted(
+            tuple(sorted((int(i), int(l)) for i, l in p.track))
+            for p in rec.points3d.values())
+
+    opts = TriangulatorOptions()
+
+    # to_reconstruction() shares Image objects across calls (the controller
+    # uses one model at a time), so run reference and fast SEQUENTIALLY.
+    rec_ref = fresh_rec()
+    tri_ref = IncrementalTriangulator(cache.graph, rec_ref, view=None)
+    n_ref = tri_ref.complete_all_tracks(opts)
+    ref_after_complete = track_multiset(rec_ref)
+    m_ref = tri_ref.merge_all_tracks(opts)
+    ref_after_merge = track_multiset(rec_ref)
+
+    rec_fast = fresh_rec()
+    tri_fast = IncrementalTriangulator(cache.graph, rec_fast,
+                                       view=cache.view)
+    n_fast = tri_fast.complete_all_tracks(opts)
+    assert n_fast == n_ref and n_fast > 0
+    assert track_multiset(rec_fast) == ref_after_complete
+
+    m_fast = tri_fast.merge_all_tracks(opts)
+    assert m_fast == m_ref and m_fast > 0
+    assert track_multiset(rec_fast) == ref_after_merge
