@@ -19,6 +19,13 @@ non-degenerate (a fronto-parallel plane would project to a line in the 2D
 sub-problem).
 
 Usage: python tools/synth_dataset.py OUTDIR [num_images] [plane|box]
+       [SIMPLE_PINHOLE|OPENCV]
+
+With ``OPENCV`` the box scene is rendered through real barrel+tangential
+lens distortion (inverse mapping computed with the framework's own
+Newton undistortion), and the sidecar declares the OPENCV model — the
+e2e pipeline must then undistort during line lifting and distort inside
+every BA/projection residual.
 """
 
 import os
@@ -53,10 +60,37 @@ BOX_FACETS = (
 )
 
 
-def _render_box_view(K, R, t, textures, width, height, cv2):
-    """Composite the BOX_FACETS by nearest positive depth."""
+def _undistorted_pix_map(width, height, model, params):
+    """Per-pixel map: distorted output pixel -> undistorted pinhole pixel.
+
+    Uses the framework's own ``image_to_world`` (Newton undistortion), so
+    the rendered distortion is exactly what the pipeline will invert.
+    View-independent (intrinsics only): compute once per dataset.
+    """
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.ops import cameras as cam_ops
+
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
-    pix = np.stack([xs, ys, np.ones_like(xs)])  # (3, H, W)
+    pts = np.stack([xs.ravel(), ys.ravel()], 1)
+    xn = np.asarray(cam_ops.image_to_world(model, jnp.asarray(params),
+                                           jnp.asarray(pts)))
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    pu = np.stack([xn[:, 0] * fx + cx, xn[:, 1] * fy + cy,
+                   np.ones(len(xn))], 1)
+    return np.ascontiguousarray(pu.T.reshape(3, height, width))
+
+
+def _render_box_view(K, R, t, textures, width, height, cv2, pix=None):
+    """Composite the BOX_FACETS by nearest positive depth.
+
+    ``pix``: optional (3, H, W) per-output-pixel homogeneous PINHOLE pixel
+    coordinates (identity for a pinhole camera; the undistorted map for a
+    distorted camera — rendering through it bakes real lens distortion
+    into the image)."""
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    if pix is None:
+        pix = np.stack([xs, ys, np.ones_like(xs)])  # (3, H, W)
     img = np.full((height, width), 96, np.uint8)  # featureless background
     zbuf = np.full((height, width), np.inf)
     for (O, A, B), tex in zip(BOX_FACETS, textures):
@@ -83,7 +117,8 @@ def _render_box_view(K, R, t, textures, width, height, cv2):
 
 
 def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
-                 f=400.0, seed=0, scene: str = "plane"):
+                 f=400.0, seed=0, scene: str = "plane",
+                 camera: str = "SIMPLE_PINHOLE"):
     import cv2
     import jax
     jax.config.update("jax_platforms", "cpu")  # data prep is host work
@@ -92,6 +127,20 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from privacy_preserving_sfm_tpu.ops import lie
+
+    if camera == "SIMPLE_PINHOLE":
+        cam_params = [f, width / 2, height / 2]
+    elif camera == "OPENCV":
+        # Moderate barrel distortion + slight tangential (max displacement
+        # ~10 px at the image corners at these values).
+        cam_params = [f, f, width / 2, height / 2,
+                      -0.16, 0.035, 1e-3, -5e-4]
+        if scene != "box":
+            raise SystemExit("OPENCV rendering implemented for scene=box")
+    else:
+        raise SystemExit(f"unsupported camera {camera}")
+    dist_pix = _undistorted_pix_map(width, height, camera, cam_params) \
+        if camera != "SIMPLE_PINHOLE" else None
 
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
@@ -136,7 +185,7 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
         t = -R @ C
         if scene == "box":
             img = _render_box_view(K, R, t, box_textures, width, height,
-                                   cv2)
+                                   cv2, pix=dist_pix)
         else:
             # Homography texture -> image: world point X = M [u, v, 1]^T,
             # so x ~ K (R X + t) = K (R M + t [0,0,1]) [u,v,1]^T.
@@ -151,7 +200,8 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
         with open(os.path.join(outdir, name + ".gravity.txt"), "w") as fo:
             fo.write(f"{g[0]} {g[1]} {g[2]}\n")
         with open(os.path.join(outdir, name + ".camera_model.txt"), "w") as fo:
-            fo.write(f"SIMPLE_PINHOLE, {f}, {width / 2}, {height / 2}\n")
+            fo.write(camera + ", "
+                     + ", ".join(str(p) for p in cam_params) + "\n")
         gt_lines.append(
             f"{name} " + " ".join(repr(float(v)) for v in q) + " "
             + " ".join(repr(float(v)) for v in t))
@@ -164,7 +214,8 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
     import json
     with open(os.path.join(outdir, "meta.json"), "w") as fo:
         json.dump({"f": f, "width": width, "height": height,
-                   "scene": scene,
+                   "scene": scene, "camera": camera,
+                   "camera_params": list(map(float, cam_params)),
                    "plane_S": S, "plane_z0": z0,
                    "plane_ax": ax_c, "plane_ay": ay_c,
                    "tex_size": tex_size}, fo)
@@ -175,5 +226,6 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ppsfm_synth"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     kind = sys.argv[3] if len(sys.argv) > 3 else "plane"
-    make_dataset(out, n, scene=kind)
-    print(f"wrote {n} {kind} images to {out}")
+    cam = sys.argv[4] if len(sys.argv) > 4 else "SIMPLE_PINHOLE"
+    make_dataset(out, n, scene=kind, camera=cam)
+    print(f"wrote {n} {kind}/{cam} images to {out}")
