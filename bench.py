@@ -92,8 +92,34 @@ USEFUL_FLOPS_PER_OBS_ITER = 1000 + 290 + 200 + 324 + 72 * CG_ITERS
 PEAK_F32_FLOPS = 49e12
 
 
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """True if the default (TPU) backend initializes in a subprocess.
+
+    The axon tunnel can hang a client for ~45 min when the remote claim
+    is stuck (observed round 2); probing in a THROWAWAY process keeps
+    this process clean so it can fall back to CPU instead of wedging.
+    """
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print((jnp.ones((8,128)) @ jnp.ones((128,8))).sum())"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    platform = "tpu"
+    if not _probe_backend():
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu_fallback (TPU backend unavailable at bench time)"
+
     import jax.numpy as jnp
 
     from privacy_preserving_sfm_tpu.optim import ba, ba_dense
@@ -138,6 +164,7 @@ def main():
         "value": value,
         "unit": "obs*iter/s",
         "vs_baseline": value / BASELINE_OBS_ITERS_PER_S,
+        "platform": platform,
         "cam_reduce": mode,
         "all_modes": results,
         "useful_flops_per_obs_iter": USEFUL_FLOPS_PER_OBS_ITER,

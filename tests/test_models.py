@@ -227,3 +227,64 @@ class TestDatabaseCache:
         # to 0..9.
         corrs = cache_al.graph.find_correspondences(ids[0], 0)
         assert corrs == [(ids[1], 0)]
+
+
+def test_tri_angle_filter_matches_bruteforce():
+    """filter_points3d_small_tri_angle (cone test + ambiguous-band
+    fallback) must delete exactly the points whose best pairwise folded
+    ray angle is below the threshold, per reconstruction.cc:594-654."""
+    from privacy_preserving_sfm_tpu.models.reconstruction import (
+        Camera, Image, Reconstruction,
+    )
+
+    rng = np.random.default_rng(11)
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, "SIMPLE_PINHOLE", 640, 480,
+                          np.array([500., 320., 240.])))
+    n_img, n_pts = 30, 200
+    centers = np.zeros((n_img, 3))
+    # Mixture of baselines: tight cluster (tiny angles), medium, wide.
+    centers[:10, 0] = rng.uniform(0, 0.004, 10)       # ~< 0.05 deg at z=5
+    centers[10:20, 0] = rng.uniform(0.0, 0.35, 10)    # around threshold
+    centers[20:, 0] = rng.uniform(-3.0, 3.0, 10)      # clearly above
+    dummy = np.zeros((1, 3))
+    for i in range(n_img):
+        img = Image(image_id=i + 1, name=f"i{i}.png", camera_id=1,
+                    qvec=np.array([1.0, 0, 0, 0]), tvec=-centers[i],
+                    gravity=np.array([0.0, 1.0, 0.0]))
+        img.lines = np.zeros((n_pts, 3))
+        img.lines[:, 0] = 1.0
+        img.aligned = np.zeros(n_pts, bool)
+        img.point3d_ids = np.full(n_pts, -1, np.int64)
+        rec.add_image(img)
+        rec.register_image(i + 1)
+    pts = rng.uniform(-1, 1, (n_pts, 3)) + np.array([0, 0, 5.0])
+    tracks = {}
+    for j in range(n_pts):
+        k = rng.integers(2, 7)
+        grp = rng.choice([0, 1, 2], p=[0.4, 0.4, 0.2])
+        lo, hi = (0, 10) if grp == 0 else ((10, 20) if grp == 1 else (0, 30))
+        imgs = rng.choice(np.arange(lo, hi), size=min(k, hi - lo),
+                          replace=False)
+        pid = rec.add_point3d(pts[j], [(int(i) + 1, j) for i in imgs])
+        tracks[pid] = imgs
+
+    thr_deg = 1.5
+    # Brute force expected survivors.
+    expected_dead = set()
+    for pid, imgs in tracks.items():
+        best = 0.0
+        for a in range(len(imgs)):
+            for b in range(a + 1, len(imgs)):
+                ra = centers[imgs[a]] - rec.points3d[pid].xyz
+                rb = centers[imgs[b]] - rec.points3d[pid].xyz
+                c = abs(np.dot(ra, rb) /
+                        (np.linalg.norm(ra) * np.linalg.norm(rb)))
+                best = max(best, np.degrees(np.arccos(min(c, 1.0))))
+        if best < thr_deg:
+            expected_dead.add(pid)
+
+    n = rec.filter_points3d_small_tri_angle(thr_deg,
+                                            set(tracks.keys()))
+    assert n == len(expected_dead)
+    assert set(tracks.keys()) - set(rec.points3d.keys()) == expected_dead
