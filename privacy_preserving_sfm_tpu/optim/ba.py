@@ -100,6 +100,13 @@ class BAOptions(NamedTuple):
     #     descent direction long before it is an exact Newton step, so
     #     convergence is preserved (evaluated in bench.py / REPORT).
     schur_precision: str = "f32"
+    # Dense-block explicit mode only: how S_corr = V^T V is materialized.
+    #   "auto"  — fused Pallas Gram kernel (V built tile-wise in VMEM,
+    #     never written to HBM) on TPU when the shape fits
+    #     (``schur_pcg.gram_fits``), else the XLA U-matrix path.
+    #   "fused" — force the kernel (Pallas interpreter on CPU: tests).
+    #   "xla"   — force the U-matrix path.
+    gram_mode: str = "auto"
 
 
 class BASummary(NamedTuple):

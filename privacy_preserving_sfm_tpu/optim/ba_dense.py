@@ -221,6 +221,16 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
     # explicit system is solved with the same PCG in plain XLA.
     use_pallas = jax.default_backend() != "cpu"
     n_pad = schur_pcg.padded_dim(C)
+    # S_corr materialization: fused Pallas Gram (V never touches HBM)
+    # when the shape fits, else the XLA U-matrix path.
+    if options.gram_mode == "fused":
+        use_fused_gram = schur_pcg.gram_fits(C, K)
+        gram_interpret = not use_pallas
+    elif options.gram_mode == "xla":
+        use_fused_gram, gram_interpret = False, False
+    else:
+        use_fused_gram = use_pallas and schur_pcg.gram_fits(C, K)
+        gram_interpret = False
 
     def build_normal(qvecs, tvecs, points):
         r, Jc, Jp = _residuals_and_jacobians(problem, qvecs, tvecs, points,
@@ -263,21 +273,31 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
         disappear.
         """
         n = 6 * C
-        U = schur_pcg.build_u_matrix(Hcp_o, problem.obs_cam, C)  # (P,3,n)
         L = linalg.chol3(Hpp_inv)  # (P, 3, 3) lower
-        V = jnp.einsum("pba,pbn->pan", L, U)  # L^T U
         gL = jnp.einsum("pba,pb->pa", L, gp)  # L^T gp
-        Vx = jnp.concatenate([V.reshape(-1, n), gL.reshape(-1, 1)], axis=1)
-        if options.schur_precision == "bf16":
-            # bf16 operands, f32 MXU accumulation: 2x peak on v5e.  The
-            # damped LM accepts/rejects on the exact f32 cost, so a ~3
-            # significant-digit S only perturbs the step direction.
-            Vx = Vx.astype(jnp.bfloat16)
-        G = jax.lax.dot_general(
-            Vx, Vx, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype)  # (n+1, n+1) Gram
-        S_corr = G[:n, :n]
-        rhs = gc.reshape(n) - G[:n, n]
+        if use_fused_gram:
+            LH = jnp.einsum("pba,pkib->pkai", L, Hcp_o)  # (P, K, 3, 6)
+            S_corr, rhs_corr = schur_pcg.gram_fused(
+                LH, gL, problem.obs_cam, C,
+                precision=options.schur_precision,
+                interpret=gram_interpret)
+            rhs = gc.reshape(n) - rhs_corr
+        else:
+            U = schur_pcg.build_u_matrix(Hcp_o, problem.obs_cam, C)
+            V = jnp.einsum("pba,pbn->pan", L, U)  # L^T U, (P, 3, n)
+            Vx = jnp.concatenate([V.reshape(-1, n), gL.reshape(-1, 1)],
+                                 axis=1)
+            if options.schur_precision == "bf16":
+                # bf16 operands, f32 MXU accumulation: 2x peak on v5e.
+                # The damped LM accepts/rejects on the exact f32 cost, so
+                # a ~3 significant-digit S only perturbs the step
+                # direction.
+                Vx = Vx.astype(jnp.bfloat16)
+            G = jax.lax.dot_general(
+                Vx, Vx, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype)  # (n+1, n+1) Gram
+            S_corr = G[:n, :n]
+            rhs = gc.reshape(n) - G[:n, n]
         SJ = dHcc - schur_pcg.diag_blocks(S_corr, C)
         SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
         S = schur_pcg.embed_block_diag(dHcc, n_pad, pad_value=1.0)

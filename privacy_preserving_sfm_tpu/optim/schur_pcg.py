@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 _LANE = 128
 
@@ -114,6 +115,137 @@ def pcg_xla(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
     x, _, _, _ = jax.lax.fori_loop(
         0, iters, body, (jnp.zeros_like(rhs), rhs, z0, jnp.sum(rhs * z0)))
     return x
+
+
+def gram_fits(num_cams: int, k_bucket: int) -> bool:
+    """True when ``gram_fused`` supports the problem shape.
+
+    One camera block (C_pad = 128) keeps the 18 V panels + the (768, 768)
+    Gram accumulator inside VMEM; the per-k unrolled V build caps the
+    track bucket (K > 16 would blow up both VPU time and Mosaic unroll).
+    """
+    return num_cams <= _LANE and k_bucket <= 16
+
+
+def _gram_kernel(lh_ref, gl_ref, cam_ref, g_ref, r_ref, *,
+                 K: int, C_pad: int, bf16: bool):
+    """One point-tile step of the fused Schur-Gram accumulation.
+
+    Builds the 18 dense V panels (one (TP, C_pad) panel per (a, i) pair)
+    for this tile of points in VMEM via one-hot camera expansion, then
+    accumulates the 21 unique (C_pad, C_pad) Gram blocks and the 6 rhs
+    row blocks into the revisited outputs.  The (3P, 6C) V matrix never
+    exists in HBM.
+    """
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        g_ref[:] = jnp.zeros_like(g_ref)
+        r_ref[:] = jnp.zeros_like(r_ref)
+
+    lh = lh_ref[:]  # (TP, K*18), layout k*18 + a*6 + i
+    gl = gl_ref[:]  # (TP, 3)
+    cam = cam_ref[:]  # (TP, K) int32
+    TP = lh.shape[0]
+    dtype = lh.dtype
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (TP, C_pad), 1)
+
+    V = [[jnp.zeros((TP, C_pad), dtype) for _ in range(6)]
+         for _ in range(3)]
+    for k in range(K):
+        oh = (cam[:, k][:, None] == iota_c).astype(dtype)  # (TP, C_pad)
+        for a in range(3):
+            for i in range(6):
+                col = lh[:, k * 18 + a * 6 + i][:, None]  # (TP, 1)
+                V[a][i] += oh * col
+
+    Vg = V
+    if bf16:
+        # bf16 operands / f32 MXU accumulation (2x peak on v5e); the rhs
+        # rows below stay f32 (they are VPU reductions, not matmuls).
+        Vg = [[v.astype(jnp.bfloat16) for v in row] for row in V]
+
+    for i1 in range(6):
+        for i2 in range(i1, 6):
+            acc = jnp.zeros((C_pad, C_pad), dtype)
+            for a in range(3):
+                acc += jax.lax.dot_general(
+                    Vg[a][i1], Vg[a][i2], (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype)
+            g_ref[i1 * C_pad:(i1 + 1) * C_pad,
+                  i2 * C_pad:(i2 + 1) * C_pad] += acc
+            if i2 != i1:
+                g_ref[i2 * C_pad:(i2 + 1) * C_pad,
+                      i1 * C_pad:(i1 + 1) * C_pad] += acc.T
+
+    for i in range(6):
+        racc = jnp.zeros((1, C_pad), dtype)
+        for a in range(3):
+            racc += jnp.sum(V[a][i] * gl[:, a][:, None], axis=0,
+                            keepdims=True)
+        r_ref[0:1, i * C_pad:(i + 1) * C_pad] += racc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_cams", "precision", "interpret"))
+def gram_fused(LH: jax.Array, gL: jax.Array, obs_cam: jax.Array,
+               num_cams: int, precision: str = "f32",
+               interpret: bool = False):
+    """Fused S_corr = V^T V and rhs_corr = V^T (L^T gp), V never in HBM.
+
+    The XLA path (``build_u_matrix`` + one Gram matmul) writes the
+    (P, 3, 6C) U/V tensors to HBM (~150 MB at mapper scale) and reads
+    them back for the Gram — measured 6 ms of the 15.8 ms LM iteration on
+    v5e.  This kernel streams the (P, K, 3, 6) observation blocks once
+    (~12 MB), builds each point-tile's V panels in VMEM, and accumulates
+    the Gram on the MXU, i-major blocked: G[i1*C_pad+c1, i2*C_pad+c2].
+
+    LH: (P, K, 3, 6) = einsum("pba,pkib->pkai", chol3(Hpp_inv), Hcp_o);
+    gL: (P, 3) = L^T gp;  obs_cam: (P, K) int32.  Padding observations
+    must carry zero LH blocks (they do: the robust weight is 0 there).
+
+    Returns (S_corr (6C, 6C), rhs_corr (6C,)) in the 6c+i dense layout of
+    the caller.  Requires ``gram_fits(num_cams, K)``.
+    """
+    P, K = obs_cam.shape
+    C_pad = _LANE
+    dtype = LH.dtype
+    TP = 512
+    P_pad = _round_up(max(P, TP), TP)
+    lh = LH.reshape(P, K * 18)
+    if P_pad > P:
+        lh = jnp.pad(lh, ((0, P_pad - P), (0, 0)))
+        gL = jnp.pad(gL, ((0, P_pad - P), (0, 0)))
+        obs_cam = jnp.pad(obs_cam, ((0, P_pad - P), (0, 0)))
+
+    grid = (P_pad // TP,)
+    G, R = pl.pallas_call(
+        functools.partial(_gram_kernel, K=K, C_pad=C_pad,
+                          bf16=(precision == "bf16")),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TP, K * 18), lambda t: (t, 0)),
+            pl.BlockSpec((TP, 3), lambda t: (t, 0)),
+            pl.BlockSpec((TP, K), lambda t: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((6 * C_pad, 6 * C_pad), lambda t: (0, 0)),
+            pl.BlockSpec((8, 6 * C_pad), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((6 * C_pad, 6 * C_pad), dtype),
+            jax.ShapeDtypeStruct((8, 6 * C_pad), dtype),
+        ],
+        interpret=interpret,
+    )(lh, gL, obs_cam)
+
+    n = 6 * num_cams
+    # i-major blocks -> the caller's 6c+i layout.
+    G4 = G.reshape(6, C_pad, 6, C_pad)[:, :num_cams, :, :num_cams]
+    S_corr = jnp.transpose(G4, (1, 0, 3, 2)).reshape(n, n)
+    rhs_corr = R[0].reshape(6, C_pad)[:, :num_cams].T.reshape(n)
+    return S_corr, rhs_corr
 
 
 def build_u_matrix(Hcp_o: jax.Array, obs_cam: jax.Array,
