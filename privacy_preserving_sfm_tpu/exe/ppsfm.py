@@ -450,6 +450,15 @@ def main(argv=None):
         enable_persistent_cache,
     )
     enable_persistent_cache()
+    # Backend selection: the JAX_PLATFORMS env var is re-registered by
+    # site customizations on some hosts (the axon TPU plugin), so honor an
+    # explicit PPSFM_PLATFORM via jax.config, which always wins.  A wedged
+    # TPU tunnel otherwise hangs every CLI stage at first dispatch.
+    platform = os.environ.get("PPSFM_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     parser = argparse.ArgumentParser(
         prog="ppsfm", description="TPU-native privacy-preserving SfM")
     sub = parser.add_subparsers(dest="command", required=True)

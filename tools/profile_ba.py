@@ -170,6 +170,38 @@ def main():
 
     t_ubuild = timeit(make_looped(stage_ubuild, LOOP), Hcp_o) / LOOP
 
+    # ---- stage: fused-Gram Schur build (Pallas kernel path) ----
+    if schur_pcg.gram_fits(C, K):
+        from privacy_preserving_sfm_tpu.ops import linalg as _linalg
+
+        interp = jax.default_backend() == "cpu"
+
+        def stage_schur_fused(Hcp_o, Hcc, Hpp, gc, gp):
+            lam = jnp.asarray(1e-4, dtype)
+            dHcc = Hcc + lam * ba_mod._diag_embed6(
+                jnp.diagonal(Hcc, axis1=-2, axis2=-1)) + 1e-12 * eye6
+            dHpp = Hpp + lam * ba_mod._diag_embed3(
+                jnp.diagonal(Hpp, axis1=-2, axis2=-1)) \
+                + 1e-12 * jnp.eye(3, dtype=dtype)
+            Hpp_inv = _linalg.inv3(dHpp)
+            L = _linalg.chol3(Hpp_inv)
+            gL = jnp.einsum("pba,pb->pa", L, gp)
+            LH = jnp.einsum("pba,pkib->pkai", L, Hcp_o)
+            S_corr, rhs_corr = schur_pcg.gram_fused(
+                LH, gL, dense.obs_cam, C, interpret=interp)
+            rhs = gc.reshape(n) - rhs_corr
+            SJ = dHcc - schur_pcg.diag_blocks(S_corr, C)
+            SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
+            S = schur_pcg.embed_block_diag(dHcc, n_pad, 1.0)
+            S = S - jnp.pad(S_corr, ((0, n_pad - n), (0, n_pad - n)))
+            Minv = schur_pcg.embed_block_diag(SJ_inv, n_pad, 1.0)
+            return S, Minv, jnp.pad(rhs, (0, n_pad - n))
+
+        t_schur_fused = timeit(make_looped(stage_schur_fused, LOOP),
+                               Hcp_o, Hcc, Hpp, gc, gp) / LOOP
+    else:
+        t_schur_fused = float("nan")
+
     # ---- stage: fused PCG ----
     use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
@@ -204,6 +236,7 @@ def main():
     print(f"schur explicit build  {t_schur*1e3:9.2f}")
     print(f"  U build only        {t_ubuild*1e3:9.2f}")
     print(f"  S_corr matmul only  {t_scorr*1e3:9.2f}")
+    print(f"schur fused-gram      {t_schur_fused*1e3:9.2f}")
     print(f"fused PCG x{args.cg_iters:3d}       {t_pcg*1e3:9.2f}")
     print(f"cost eval             {t_cost*1e3:9.2f}")
     print(f"--- full solve: {t_full*1e3:.1f} ms / {iters} iters "
