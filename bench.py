@@ -112,15 +112,74 @@ def _probe_backend(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def _bench_frontend(jnp, rng):
+    """Secondary metrics: SIFT+lift steady-state img/s and matcher pair/s.
+
+    The north-star unit is images-registered/s (REPORT_r02.json carries
+    the full-pipeline numbers); these two micro-benches pin the front-end
+    kernels feeding it so the bench is not BA-only.
+    """
+    import jax
+    import time as _time
+
+    from privacy_preserving_sfm_tpu.features import extraction, matching
+    from privacy_preserving_sfm_tpu.features import sift as sift_mod
+
+    out = {}
+    img = jnp.asarray(rng.random((480, 640)), jnp.float32)
+    params = jnp.asarray([500.0, 320.0, 240.0], jnp.float32)
+    gravity = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    opts = sift_mod.SiftOptions(max_num_features=2048)
+    feats = extraction.extract_and_lift_jit(
+        key, img, "SIMPLE_PINHOLE", params, gravity, opts)
+    jax.block_until_ready(feats.lines)
+    ts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        feats = extraction.extract_and_lift_jit(
+            key, img, "SIMPLE_PINHOLE", params, gravity, opts)
+        jax.block_until_ready(feats.lines)
+        ts.append(_time.perf_counter() - t0)
+    out["sift_lift_images_per_s_640x480"] = 1.0 / min(ts)
+
+    n = 8192
+    d1 = jnp.asarray(rng.integers(0, 256, (n, 128)), jnp.uint8)
+    d2 = jnp.asarray(rng.integers(0, 256, (n, 128)), jnp.uint8)
+    match = jax.jit(lambda a, b: matching.match_descriptors(a, b))
+    res = match(d1, d2)
+    jax.block_until_ready(res.matches)
+    ts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        res = match(d1, d2)
+        jax.block_until_ready(res.matches)
+        ts.append(_time.perf_counter() - t0)
+    out["match_pairs_per_s_8192x8192"] = 1.0 / min(ts)
+    out["match_tflops"] = 2 * n * n * 128 / min(ts) / 1e12
+    return out
+
+
 def main():
     import jax
 
+    import os
+
     platform = "tpu"
-    if not _probe_backend():
+    if os.environ.get("PPSFM_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu (forced via PPSFM_PLATFORM)"
+    elif not _probe_backend():
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu_fallback (TPU backend unavailable at bench time)"
 
     import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     from privacy_preserving_sfm_tpu.optim import ba, ba_dense
 
@@ -157,6 +216,8 @@ def main():
             times.append(time.perf_counter() - t0)
         results[label] = num_obs * iters_run / min(times)
 
+    frontend = _bench_frontend(jnp, rng)
+
     mode = max(results, key=results.get)
     value = results[mode]
     print(json.dumps({
@@ -170,6 +231,7 @@ def main():
         "useful_flops_per_obs_iter": USEFUL_FLOPS_PER_OBS_ITER,
         "useful_tflops": value * USEFUL_FLOPS_PER_OBS_ITER / 1e12,
         "mfu": value * USEFUL_FLOPS_PER_OBS_ITER / PEAK_F32_FLOPS,
+        **frontend,
     }))
 
 
