@@ -330,6 +330,40 @@ def cmd_mapper(args):
     timer.print_minutes()
 
 
+def cmd_hierarchical_mapper(args):
+    """Block-parallel mapper (upstream COLMAP's hierarchical_mapper role;
+    absent from the reference fork — see sfm/hierarchical.py)."""
+    import time
+
+    from privacy_preserving_sfm_tpu.sfm.controller import ControllerOptions
+    from privacy_preserving_sfm_tpu.sfm.hierarchical import (
+        HierarchicalOptions, hierarchical_map,
+    )
+    from privacy_preserving_sfm_tpu.utils.timer import Timer
+
+    timer = Timer()
+    opts = HierarchicalOptions(block_size=args.block_size,
+                               overlap=args.overlap,
+                               num_workers=args.num_workers,
+                               controller=ControllerOptions())
+    t0 = time.perf_counter()
+    rec = hierarchical_map(args.database_path, opts,
+                           platform=os.environ.get("PPSFM_PLATFORM"))
+    wall = time.perf_counter() - t0
+    if rec is None:
+        print("  => no model produced")
+        return
+    print(f"  => images registered/s: "
+          f"{rec.num_registered() / max(wall, 1e-9):.3f} "
+          f"({rec.num_registered()} images in {wall:.1f}s)")
+    out = os.path.join(args.output_path, "0")
+    rec.write_text(out)
+    print(f"  model 0: {rec.num_registered()} images, "
+          f"{len(rec.points3d)} points, "
+          f"mean reproj {rec.compute_mean_reprojection_error():.3f}px")
+    timer.print_minutes()
+
+
 def cmd_bundle_adjuster(args):
     from privacy_preserving_sfm_tpu.models.database import Database
     from privacy_preserving_sfm_tpu.models.database_cache import DatabaseCache
@@ -515,6 +549,14 @@ def main(argv=None):
     p.add_argument("--input_path", default="")
     p.add_argument("--output_path", required=True)
     p.set_defaults(func=cmd_mapper)
+
+    p = sub.add_parser("hierarchical_mapper")
+    _add_db_arg(p)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--block_size", type=int, default=30)
+    p.add_argument("--overlap", type=int, default=5)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.set_defaults(func=cmd_hierarchical_mapper)
 
     p = sub.add_parser("bundle_adjuster")
     p.add_argument("--input_path", required=True)
