@@ -62,6 +62,23 @@ def test_hierarchical_two_blocks(tmp_path):
     assert rec.compute_mean_reprojection_error() < 1.0
 
 
+@pytest.mark.slow
+def test_hierarchical_parallel_workers(tmp_path):
+    """The multiprocessing path (spawned workers) produces the same kind
+    of model as in-process blocks; workers must be pinned to CPU since
+    the parent's jax.config does not propagate to spawned children."""
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "scene.db")
+    qs, ts, pts, image_ids = build_synthetic_db(
+        path, rng, num_images=12, num_points=150)
+    opts = HierarchicalOptions(block_size=8, overlap=4, num_workers=2,
+                               controller=FAST)
+    rec = hierarchical_map(path, opts, platform="cpu", verbose=False)
+    assert rec is not None
+    assert rec.num_registered() >= 11
+    assert ate_rmse(rec, qs, ts, image_ids) < 0.05
+
+
 def test_merge_into_anchors_and_tracks(tmp_path):
     """Unit-level merge: two copies of one reconstruction in different
     gauges must merge into one model with unified tracks."""
