@@ -120,11 +120,13 @@ def pcg_xla(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
 def gram_fits(num_cams: int, k_bucket: int) -> bool:
     """True when ``gram_fused`` supports the problem shape.
 
-    One camera block (C_pad = 128) keeps the 18 V panels + the (768, 768)
-    Gram accumulator inside VMEM; the per-k unrolled V build caps the
+    C_pad = 128 runs 512-point tiles; C_pad = 256 shrinks the tile to 128
+    points so the 18 V panels + the (1536, 1536) Gram accumulator still
+    fit in VMEM (~12 MB).  C > 256 exceeds ``explicit_fits`` anyway (the
+    implicit-Schur path takes over).  The per-k unrolled V build caps the
     track bucket (K > 16 would blow up both VPU time and Mosaic unroll).
     """
-    return num_cams <= _LANE and k_bucket <= 16
+    return num_cams <= 2 * _LANE and k_bucket <= 16
 
 
 def _gram_kernel(lh_ref, gl_ref, cam_ref, g_ref, r_ref, *,
@@ -209,9 +211,9 @@ def gram_fused(LH: jax.Array, gL: jax.Array, obs_cam: jax.Array,
     the caller.  Requires ``gram_fits(num_cams, K)``.
     """
     P, K = obs_cam.shape
-    C_pad = _LANE
+    C_pad = _round_up(max(num_cams, _LANE), _LANE)
     dtype = LH.dtype
-    TP = 512
+    TP = 512 if C_pad <= _LANE else 128
     P_pad = _round_up(max(P, TP), TP)
     lh = LH.reshape(P, K * 18)
     if P_pad > P:

@@ -157,6 +157,31 @@ def test_gram_fused_matches_u_matrix_path():
                                atol=2e-3 * np.abs(r_ref).max())
 
 
+def test_gram_fused_two_camera_blocks():
+    """C in (128, 256] switches to the 128-point tile / C_pad=256 shape."""
+    rng = np.random.default_rng(8)
+    P, K, C = 300, 6, 150
+    Hcp = jnp.asarray(rng.standard_normal((P, K, 6, 3)), jnp.float32)
+    cams = jnp.asarray(rng.integers(0, C, (P, K)), jnp.int32)
+    Lr = rng.standard_normal((P, 3, 3))
+    L = jnp.asarray(np.tril(Lr) + 2 * np.eye(3), jnp.float32)
+    gp = jnp.asarray(rng.standard_normal((P, 3)), jnp.float32)
+
+    n = 6 * C
+    U = schur_pcg.build_u_matrix(Hcp, cams, C)
+    V = jnp.einsum("pba,pbn->pan", L, U).reshape(-1, n)
+    gL = jnp.einsum("pba,pb->pa", L, gp)
+    S_ref = np.asarray(V.T @ V)
+    r_ref = np.asarray(V.T @ gL.reshape(-1))
+
+    LH = jnp.einsum("pba,pkib->pkai", L, Hcp)
+    S_f, r_f = schur_pcg.gram_fused(LH, gL, cams, C, interpret=True)
+    np.testing.assert_allclose(np.asarray(S_f), S_ref, rtol=2e-5,
+                               atol=2e-3 * np.abs(S_ref).max())
+    np.testing.assert_allclose(np.asarray(r_f), r_ref, rtol=2e-5,
+                               atol=2e-3 * np.abs(r_ref).max())
+
+
 def test_explicit_fused_gram_matches_xla_gram_ba():
     """Whole solver: gram_mode='fused' (interpreted kernel) == 'xla'."""
     rng = np.random.default_rng(7)
