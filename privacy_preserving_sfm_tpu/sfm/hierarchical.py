@@ -277,9 +277,9 @@ def hierarchical_map(database_path: str,
     # IterativeGlobalRefinement semantics).
     mapper = IncrementalMapper(full_cache)
     mapper.begin_reconstruction(merged)
-    ctrl = IncrementalMapperController(options.controller,
-                                       database_cache=full_cache)
-    ctrl.options.verbose = verbose
+    ctrl = IncrementalMapperController(
+        dataclasses.replace(options.controller, verbose=verbose),
+        database_cache=full_cache)
     ctrl.iterative_global_refinement(mapper)
     mapper.end_reconstruction(discard=False)
     log(f"  => Refined model: {merged.num_registered()} images, "
