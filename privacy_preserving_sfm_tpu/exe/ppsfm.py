@@ -50,6 +50,7 @@ def cmd_feature_extractor(args):
     with Database(args.database_path) as db:
         existing = {v["name"]: k for k, v in db.read_images().items()}
         camera_ids = {}
+        groups = {}  # (shape, model, n_params, has_mask) -> pending records
         for idx, name in enumerate(names):
             path = os.path.join(args.image_path, name)
             cam_info = extraction.read_camera_model_file(path)
@@ -103,25 +104,62 @@ def cmd_feature_extractor(args):
                 mask_r = np.asarray(jax.image.resize(
                     jnp.asarray(mask, jnp.float32), img_r.shape,
                     "nearest")) > 0.5
-                mask_r = jnp.asarray(mask_r)
 
             key, k1 = jax.random.split(key)
-            lf = extraction.extract_and_lift_jit(
-                k1, jnp.asarray(img_r), model,
-                jnp.asarray(params_scaled, jnp.float32),
-                jnp.asarray(gravity, jnp.float32), sift_opts,
-                args.aligned_line_ratio, mask=mask_r)
-            # One batched transfer instead of five (the remote-TPU tunnel
-            # costs ~26 ms per host<->device round trip).
-            valid, desc, lines, aligned = jax.device_get(
-                (lf.valid, lf.descriptors, lf.lines, lf.aligned))
-            db.write_descriptors(iid, desc[valid])
-            db.write_lines(iid, lines[valid], aligned[valid])
-            db.write_gravity(iid, gravity)
-            print(f"  {name}: {int(valid.sum())} features "
-                  f"({int(aligned[valid].sum())} aligned)")
+            gkey = (img_r.shape, model, len(params_scaled),
+                    mask_r is not None)
+            groups.setdefault(gkey, []).append(dict(
+                iid=iid, name=name, img=img_r, key=k1, model=model,
+                params=np.asarray(params_scaled, np.float32),
+                gravity=gravity, mask=mask_r))
+            if len(groups[gkey]) >= args.batch_size:
+                _flush_extraction_batch(db, groups.pop(gkey), sift_opts,
+                                        args.aligned_line_ratio,
+                                        args.batch_size)
+        for batch in groups.values():
+            _flush_extraction_batch(db, batch, sift_opts,
+                                    args.aligned_line_ratio,
+                                    args.batch_size)
         db.commit()
     timer.print_minutes()
+
+
+def _flush_extraction_batch(db, batch, sift_opts, aligned_ratio,
+                            batch_size):
+    """One device call for up to ``batch_size`` same-shape images.
+
+    A short tail is padded by repeating the last record (one compiled
+    shape per group) and the padded outputs discarded.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.features import extraction
+
+    n = len(batch)
+    padded = batch + [batch[-1]] * (batch_size - n)
+    keys = jnp.stack([r["key"] for r in padded])
+    imgs = jnp.asarray(np.stack([r["img"] for r in padded]))
+    params = jnp.asarray(np.stack([r["params"] for r in padded]))
+    gravs = jnp.asarray(np.stack([r["gravity"] for r in padded]),
+                        jnp.float32)
+    masks = None
+    if batch[0]["mask"] is not None:
+        masks = jnp.asarray(np.stack([r["mask"] for r in padded]))
+    lf = extraction.extract_and_lift_batch_jit(
+        keys, imgs, batch[0]["model"], params, gravs, sift_opts,
+        aligned_ratio, masks=masks)
+    # One batched transfer for the whole group (the remote-TPU tunnel
+    # costs tens of ms per host<->device round trip).
+    valid, desc, lines, aligned = jax.device_get(
+        (lf.valid, lf.descriptors, lf.lines, lf.aligned))
+    for i, r in enumerate(batch):
+        v = valid[i]
+        db.write_descriptors(r["iid"], desc[i][v])
+        db.write_lines(r["iid"], lines[i][v], aligned[i][v])
+        db.write_gravity(r["iid"], r["gravity"])
+        print(f"  {r['name']}: {int(v.sum())} features "
+              f"({int(aligned[i][v].sum())} aligned)")
 
 
 def _run_matcher(args, scheduler: str):
@@ -508,6 +546,8 @@ def main(argv=None):
     p.add_argument("--max_num_features", type=int, default=8192)
     p.add_argument("--aligned_line_ratio", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="images per device call (amortizes dispatch)")
     p.set_defaults(func=cmd_feature_extractor)
 
     for name in ("exhaustive_matcher", "sequential_matcher"):
