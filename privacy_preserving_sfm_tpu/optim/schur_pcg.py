@@ -156,10 +156,12 @@ def _gram_kernel(lh_ref, gl_ref, cam_ref, g_ref, r_ref, *,
     V = [[jnp.zeros((TP, C_pad), dtype) for _ in range(6)]
          for _ in range(3)]
     for k in range(K):
-        oh = (cam[:, k][:, None] == iota_c).astype(dtype)  # (TP, C_pad)
+        # 2D slices throughout (1D intermediates lower poorly in Mosaic).
+        oh = (cam[:, k:k + 1] == iota_c).astype(dtype)  # (TP, C_pad)
         for a in range(3):
             for i in range(6):
-                col = lh[:, k * 18 + a * 6 + i][:, None]  # (TP, 1)
+                col = lh[:, k * 18 + a * 6 + i:
+                         k * 18 + a * 6 + i + 1]  # (TP, 1)
                 V[a][i] += oh * col
 
     Vg = V
@@ -184,7 +186,7 @@ def _gram_kernel(lh_ref, gl_ref, cam_ref, g_ref, r_ref, *,
     for i in range(6):
         racc = jnp.zeros((1, C_pad), dtype)
         for a in range(3):
-            racc += jnp.sum(V[a][i] * gl[:, a][:, None], axis=0,
+            racc += jnp.sum(V[a][i] * gl[:, a:a + 1], axis=0,
                             keepdims=True)
         r_ref[0:1, i * C_pad:(i + 1) * C_pad] += racc
 
