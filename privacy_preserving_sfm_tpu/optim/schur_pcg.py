@@ -90,6 +90,10 @@ def pcg_fused(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # S + Minv alone are ~19 MB at N=1536 (C=256); v5e has 128 MiB
+        # physical VMEM, so raise the 16 MB default scoped cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(S, Minv, rhs2)
     return out.reshape(n)
@@ -223,11 +227,19 @@ def gram_fused(LH: jax.Array, gL: jax.Array, obs_cam: jax.Array,
         gL = jnp.pad(gL, ((0, P_pad - P), (0, 0)))
         obs_cam = jnp.pad(obs_cam, ((0, P_pad - P), (0, 0)))
 
+    from jax.experimental.pallas import tpu as pltpu
+
     grid = (P_pad // TP,)
     G, R = pl.pallas_call(
         functools.partial(_gram_kernel, K=K, C_pad=C_pad,
                           bf16=(precision == "bf16")),
         grid=grid,
+        # The 18 V panels + unrolled one-hot temporaries exceed the 16 MB
+        # default scoped-VMEM cap at K=8/TP=512; v5e has 128 MiB physical
+        # VMEM, so raise the per-kernel limit instead of shrinking tiles.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((TP, K * 18), lambda t: (t, 0)),
             pl.BlockSpec((TP, 3), lambda t: (t, 0)),
