@@ -639,6 +639,7 @@ def main(argv=None):
     p.add_argument("--workspace_path", required=True)
     p.add_argument("--image_path", required=True)
     p.add_argument("--quality", default="high")
+    p.add_argument("--batch_size", type=int, default=8)
     p.set_defaults(func=cmd_automatic_reconstructor)
 
     args = parser.parse_args(argv)
