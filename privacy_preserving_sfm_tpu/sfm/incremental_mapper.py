@@ -776,6 +776,18 @@ class IncrementalMapper:
         use_dense = (ba_path == "dense" or
                      (ba_path != "flat" and jax.default_backend() != "cpu"))
         _t_assembled = _time.perf_counter()
+        dump_path = _os.environ.get("PPSFM_BA_DUMP")
+        if dump_path:
+            # Debug aid: persist the assembled problem before the device
+            # solve so a fatal device fault (which kills the TPU client)
+            # leaves the failing inputs on disk for standalone replay.
+            np.savez(dump_path, qvecs=qvecs, tvecs=tvecs,
+                     cam_params=cam_params, points3d=points3d,
+                     obs_cam=obs_cam, obs_point=obs_point,
+                     obs_line=obs_line, obs_weight=obs_weight,
+                     dof_mask=dof_mask, point_mask=point_mask,
+                     model=camera0.model,
+                     ba_options=repr(ba_options))
         if use_dense:
             from privacy_preserving_sfm_tpu.optim import ba_dense
             dense = ba_dense.from_flat_problem(problem)
