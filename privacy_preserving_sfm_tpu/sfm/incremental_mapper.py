@@ -775,19 +775,26 @@ class IncrementalMapper:
             ba_options = ba_options._replace(schur_mode=schur_override)
         use_dense = (ba_path == "dense" or
                      (ba_path != "flat" and jax.default_backend() != "cpu"))
-        _t_assembled = _time.perf_counter()
         dump_path = _os.environ.get("PPSFM_BA_DUMP")
         if dump_path:
             # Debug aid: persist the assembled problem before the device
             # solve so a fatal device fault (which kills the TPU client)
             # leaves the failing inputs on disk for standalone replay.
-            np.savez(dump_path, qvecs=qvecs, tvecs=tvecs,
+            # Per-process, per-call suffix: concurrent workers never clobber
+            # each other and a later crash keeps every prior dump.
+            self._ba_dump_seq = getattr(self, "_ba_dump_seq", 0) + 1
+            path = f"{dump_path}.{_os.getpid()}.{self._ba_dump_seq:04d}"
+            opt_fields = {f"opt_{k}": v
+                          for k, v in ba_options._asdict().items()}
+            np.savez(path, qvecs=qvecs, tvecs=tvecs,
                      cam_params=cam_params, points3d=points3d,
                      obs_cam=obs_cam, obs_point=obs_point,
                      obs_line=obs_line, obs_weight=obs_weight,
                      dof_mask=dof_mask, point_mask=point_mask,
                      model=camera0.model,
-                     ba_options=repr(ba_options))
+                     use_dense=use_dense, ba_path=ba_path,
+                     **opt_fields)
+        _t_assembled = _time.perf_counter()
         if use_dense:
             from privacy_preserving_sfm_tpu.optim import ba_dense
             dense = ba_dense.from_flat_problem(problem)

@@ -36,13 +36,35 @@ from privacy_preserving_sfm_tpu.ops import triangulation as tri_ops
 from privacy_preserving_sfm_tpu.solvers import ransac
 
 BIG = 1e30
-MAX_EXHAUSTIVE_TRACK = 15  # C(15,3) = 455 combinations
+MAX_EXHAUSTIVE_TRACK = 15  # C(15,3) = 455 combinations (reference's cap)
+# Without a PRNG key we still enumerate exhaustively as long as the
+# combination count stays cheap on device; C(30,3) = 4060.
+MAX_EXHAUSTIVE_COMBOS = 4096
 
 
 @lru_cache(maxsize=None)
 def _combinations3(n: int) -> np.ndarray:
     """All C(n, 3) index triples, shape (C, 3)."""
     return np.asarray(list(itertools.combinations(range(n), 3)), dtype=np.int32)
+
+
+@lru_cache(maxsize=None)
+def _keyless_combinations(n: int, m: int) -> np.ndarray:
+    """Deterministic triples covering the FULL index pool [0, n).
+
+    Exhaustive when C(n,3) <= MAX_EXHAUSTIVE_COMBOS; otherwise a
+    deterministic (seeded by n) uniform sample of m distinct triples over
+    the whole pool.  This replaces the old behavior of truncating to the
+    first MAX_EXHAUSTIVE_TRACK observations, which made later observations
+    unreachable as minimal-sample members.
+    """
+    total = n * (n - 1) * (n - 2) // 6
+    if total <= MAX_EXHAUSTIVE_COMBOS:
+        return _combinations3(n)
+    rng = np.random.default_rng(7919 * n + 3)
+    combos = np.stack(
+        [rng.choice(n, size=3, replace=False) for _ in range(m)], axis=0)
+    return combos.astype(np.int32)
 
 
 class TriangulationResult(NamedTuple):
@@ -99,11 +121,10 @@ def estimate_triangulation(
     n = lines.shape[0]
     dtype = lines.dtype
 
-    if n <= MAX_EXHAUSTIVE_TRACK or key is None:
-        combos = jnp.asarray(_combinations3(min(n, MAX_EXHAUSTIVE_TRACK)))
-        if n > MAX_EXHAUSTIVE_TRACK:
-            # Without a key we still cover the first 15 observations.
-            pass
+    if n <= MAX_EXHAUSTIVE_TRACK:
+        combos = jnp.asarray(_combinations3(n))
+    elif key is None:
+        combos = jnp.asarray(_keyless_combinations(n, num_random_samples))
     else:
         combos = jax.random.randint(key, (num_random_samples, 3), 0, n)
 

@@ -99,3 +99,44 @@ class TestEstimateTriangulation:
         pts_gt = np.stack([t[0] for t in tracks])
         assert bool(jnp.all(res.success))
         np.testing.assert_allclose(np.asarray(res.point3d), pts_gt, atol=1e-4)
+
+    def test_long_track_consistent_triple_past_index_15(self):
+        """Regression: a 24-obs track whose ONLY consistent triple lies past
+        index 15 must still triangulate without a PRNG key (the keyless path
+        used to truncate sampling to the first 15 observations)."""
+        rng = np.random.default_rng(7)
+        point, lines, projs, centers = make_track(rng, n_obs=24)
+        # Corrupt observations 0..19: random lines through random image
+        # points.  (Any 3-line sample triangulates its own 3 observations
+        # exactly, so >=4 clean obs are needed for the clean triples to
+        # out-vote garbage samples; 6 clean obs, all past index 15.)
+        lines = lines.copy()
+        for i in range(18):
+            hom = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5), 1.0])
+            l = np.cross(rng.standard_normal(3), hom)
+            lines[i] = l / np.linalg.norm(l[:2])
+        params = jnp.broadcast_to(jnp.asarray([500.0, 320.0, 240.0]), (24, 3))
+        res = tri_est.estimate_triangulation(
+            jnp.asarray(lines), jnp.asarray(projs), jnp.asarray(centers),
+            params, jnp.ones(24, bool), "SIMPLE_PINHOLE", 640, 480,
+            max_angle_error_rad=np.deg2rad(0.5),
+            min_tri_angle_rad=np.deg2rad(1.5))
+        assert bool(res.success)
+        # A chance-inlier garbage line may join the LO refit; the regression
+        # signal is that the clean observations (all past index 15) are the
+        # winning support and the point is near ground truth.
+        np.testing.assert_allclose(np.asarray(res.point3d), point, atol=0.05)
+        mask = np.asarray(res.inlier_mask)
+        assert mask[18:].all()
+
+    def test_keyless_combinations_cover_full_pool(self):
+        """Deterministic keyless sampling must reach every index of a long
+        pool, and stay exhaustive while C(n,3) is cheap."""
+        c24 = tri_est._keyless_combinations(24, 512)
+        assert c24.shape[0] == 24 * 23 * 22 // 6  # exhaustive
+        c64 = tri_est._keyless_combinations(64, 2048)
+        assert c64.shape == (2048, 3)
+        assert set(np.unique(c64)) == set(range(64))
+        # Deterministic across calls.
+        np.testing.assert_array_equal(
+            c64, tri_est._keyless_combinations.__wrapped__(64, 2048))
