@@ -108,19 +108,12 @@ def _downsample2(img: jax.Array) -> jax.Array:
     return img[::2, ::2]
 
 
-def _octave_features(octave_img: jax.Array, octave_idx: int,
-                     opts: SiftOptions, dtype):
-    """Detect/refine/describe keypoints in one octave.
-
-    octave_img: (H, W), already blurred to sigma(s=0) in octave pixels.
-    Returns fixed-size per-octave feature arrays in *octave* coordinates
-    plus validity; the caller rescales to image coordinates.
-    """
+def _octave_pyramid(octave_img: jax.Array, opts: SiftOptions):
+    """Gaussian stack of one octave: (S+3, H, W) and its DoG (S+2, H, W)."""
     S = opts.octave_resolution
     sigma0 = opts.sigma0
     n_levels = S + 3
-
-    # Gaussian stack. sigma_s = sigma0 * 2^(s/S); incremental blurs.
+    # sigma_s = sigma0 * 2^(s/S); incremental blurs.
     levels = [octave_img]
     for s in range(1, n_levels):
         sig_prev = sigma0 * 2.0 ** ((s - 1) / S)
@@ -129,8 +122,18 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
         levels.append(_blur(levels[-1], inc))
     gauss = jnp.stack(levels)  # (S+3, H, W)
     dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
+    return gauss, dog
 
-    h, w = octave_img.shape
+
+def _octave_candidates(dog: jax.Array, opts: SiftOptions, dtype):
+    """DoG extrema + subpixel refinement of one octave.
+
+    Returns (xr, yr, sr, sigma, peak_val, valid) fixed-size candidate
+    arrays in octave coordinates (sr = refined DoG level).
+    """
+    S = opts.octave_resolution
+    sigma0 = opts.sigma0
+    h, w = dog.shape[1:]
 
     # --- Extrema detection on DoG levels 1..S --------------------------
     # 3x3x3 neighborhood max/min via one reduce_window each (instead of
@@ -249,6 +252,57 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     xr, yr, sr, peak_val, good = jax.vmap(refine)(lev, py, px)
     valid = valid & good
     sigma = sigma0 * 2.0 ** (sr / S)  # octave-pixel units
+    return xr, yr, sr, sigma, peak_val, valid
+
+
+def _orientation_peaks(hists: jax.Array, opts: SiftOptions, dtype):
+    """Smooth 36-bin histograms, pick up to max_num_orientations peaks.
+
+    hists: (K, 36) raw histograms.  Returns (theta (K, n_ori),
+    ori_valid (K, n_ori)) — VLFeat peak rule: local maxima >= 0.8 * max,
+    parabolic bin refinement.
+    """
+    NB = hists.shape[-1]
+    # Smooth 6x with a circular [1,1,1]/3 kernel (VLFeat).
+    for _ in range(6):
+        hists = (jnp.roll(hists, 1, axis=-1) + hists
+                 + jnp.roll(hists, -1, axis=-1)) / 3.0
+    hmax = jnp.max(hists, axis=-1, keepdims=True)
+    left = jnp.roll(hists, 1, axis=-1)
+    right = jnp.roll(hists, -1, axis=-1)
+    is_peak = (hists > left) & (hists > right) & (hists >= 0.8 * hmax)
+    peak_score = jnp.where(is_peak, hists, -1.0)
+    n_ori = opts.max_num_orientations
+    top_h, top_b = jax.lax.top_k(peak_score, n_ori)  # (K, n_ori)
+    lb = jnp.take_along_axis(left, top_b, axis=-1)
+    rb = jnp.take_along_axis(right, top_b, axis=-1)
+    denom = lb - 2 * top_h + rb
+    dbin = 0.5 * (lb - rb) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    theta = ((top_b.astype(dtype) + dbin + 0.5) / NB) * 2 * jnp.pi - jnp.pi
+    ori_valid = top_h > 0.0
+    return theta, ori_valid
+
+
+def _octave_features(octave_img: jax.Array, octave_idx: int,
+                     opts: SiftOptions, dtype):
+    """Detect/refine/describe keypoints in one octave.
+
+    octave_img: (H, W), already blurred to sigma(s=0) in octave pixels.
+    Returns fixed-size per-octave feature arrays in *octave* coordinates
+    plus validity; the caller rescales to image coordinates.
+
+    The per-keypoint orientation/descriptor stages are vmapped bilinear
+    gathers over flat gradient tensors.  (A Pallas patch-DMA variant was
+    measured ~1000x slower than this XLA formulation on v5e — per-keypoint
+    patch windows sized for the octave's max sigma waste nearly all their
+    DMA and VPU work — and was removed; see git history.)
+    """
+    S = opts.octave_resolution
+    sigma0 = opts.sigma0
+    n_levels = S + 3
+    gauss, dog = _octave_pyramid(octave_img, opts)
+    h, w = octave_img.shape
+    xr, yr, sr, sigma, peak_val, valid = _octave_candidates(dog, opts, dtype)
 
     # --- Gradients per gaussian level ---------------------------------
     dx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
@@ -302,9 +356,6 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
         hist = (jnp.zeros((NB,), dtype)
                 .at[b0].add(mag * wgt * (1 - fb))
                 .at[(b0 + 1) % NB].add(mag * wgt * fb))
-        # Smooth 6x with a circular [1,1,1]/3 kernel (VLFeat).
-        for _ in range(6):
-            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         return hist
 
     # --- Affine shape adaptation (optional) ----------------------------
@@ -373,8 +424,6 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
         hist = (jnp.zeros((NB,), dtype)
                 .at[b0].add(mag * wgt * (1 - fb))
                 .at[(b0 + 1) % NB].add(mag * wgt * fb))
-        for _ in range(6):
-            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         return hist
 
     if opts.estimate_affine_shape:
@@ -382,21 +431,8 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     else:
         hists = jax.vmap(orientation)(glev, xr, yr, sigma)  # (K, 36)
 
-    # Peaks: local maxima >= 0.8 * global max; keep top max_num_orientations.
-    hmax = jnp.max(hists, axis=-1, keepdims=True)
-    left = jnp.roll(hists, 1, axis=-1)
-    right = jnp.roll(hists, -1, axis=-1)
-    is_peak = (hists > left) & (hists > right) & (hists >= 0.8 * hmax)
-    peak_score = jnp.where(is_peak, hists, -1.0)
     n_ori = opts.max_num_orientations
-    top_h, top_b = jax.lax.top_k(peak_score, n_ori)  # (K, n_ori)
-    # Parabolic refinement of each peak bin.
-    lb = jnp.take_along_axis(left, top_b, axis=-1)
-    rb = jnp.take_along_axis(right, top_b, axis=-1)
-    denom = lb - 2 * top_h + rb
-    dbin = 0.5 * (lb - rb) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    theta = ((top_b.astype(dtype) + dbin + 0.5) / NB) * 2 * jnp.pi - jnp.pi
-    ori_valid = top_h > 0.0
+    theta, ori_valid = _orientation_peaks(hists, opts, dtype)
 
     # --- Descriptors ----------------------------------------------------
     D = 16  # sample grid

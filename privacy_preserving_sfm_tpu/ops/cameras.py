@@ -237,19 +237,21 @@ def _split_params(spec: CameraModelSpec, params, xp=jnp):
 _NEWTON_ITERS = 20
 
 
-def world_to_image(model: str, params, uv, xp=jnp):
-    """Normalized camera coords (..., 2) -> pixel coords (..., 2).
+def world_to_image_uv(model: str, params, u, v, xp=jnp):
+    """Component-wise ``WorldToImage``: (u, v) arrays -> (x_pix, y_pix).
 
-    Semantics of ``CameraModel::WorldToImage`` for every model in the zoo.
-    ``model`` must be a static Python string.  Pass ``xp=numpy`` for a
-    device-free host evaluation (used by the orchestration fast paths).
+    Structure-of-arrays variant of :func:`world_to_image` for TPU-friendly
+    layouts: no trailing size-2 axis is ever materialized, so callers can
+    keep big batch axes (tracks, combos) in the tiled minor dimensions.
+    ``params`` must broadcast against ``u``/``v`` after its last axis is
+    consumed by the parameter split (e.g. params (T, N, 1, P) with
+    u, v (T, N, C)).
     """
     spec = MODELS[model]
     fx, fy, cx, cy, extra = _split_params(spec, params, xp)
-    u, v = uv[..., 0], uv[..., 1]
 
     if spec.fisheye_pre:  # THIN_PRISM_FISHEYE: pre-warp to theta coords
-        eps = xp.asarray(xp.finfo(uv.dtype).eps, uv.dtype)
+        eps = xp.asarray(xp.finfo(u.dtype).eps, u.dtype)
         r = xp.sqrt(u * u + v * v)
         r_safe = xp.maximum(r, eps)
         theta = xp.arctan(r_safe)
@@ -261,7 +263,18 @@ def world_to_image(model: str, params, uv, xp=jnp):
     else:
         du, dv = spec.distort(extra, u, v, xp)
         x, y = u + du, v + dv
-    return xp.stack([fx * x + cx, fy * y + cy], axis=-1)
+    return fx * x + cx, fy * y + cy
+
+
+def world_to_image(model: str, params, uv, xp=jnp):
+    """Normalized camera coords (..., 2) -> pixel coords (..., 2).
+
+    Semantics of ``CameraModel::WorldToImage`` for every model in the zoo.
+    ``model`` must be a static Python string.  Pass ``xp=numpy`` for a
+    device-free host evaluation (used by the orchestration fast paths).
+    """
+    x, y = world_to_image_uv(model, params, uv[..., 0], uv[..., 1], xp)
+    return xp.stack([x, y], axis=-1)
 
 
 def _newton_undistort(distort_fn, extra: jax.Array, xy: jax.Array) -> jax.Array:

@@ -35,8 +35,14 @@ from privacy_preserving_sfm_tpu.models.correspondence_graph import (
 from privacy_preserving_sfm_tpu.models.reconstruction import Reconstruction
 from privacy_preserving_sfm_tpu.ops import lines as line_ops
 from privacy_preserving_sfm_tpu.solvers import triangulation as tri_est
+from privacy_preserving_sfm_tpu.solvers import triangulation_batch as tri_batch
 
-MAX_POOL = 24  # fixed padding for the jitted estimator
+MAX_POOL = 24  # overall observation cap for the jitted estimator
+# Pool-size buckets for the batch solver: a pool of n observations runs at
+# the smallest bucket >= n, paying C(bucket, 3) hypotheses (<= 512 sampled
+# at bucket 24) instead of a fixed C(24,3) = 2024.
+N_BUCKETS = (4, 6, 9, 15, 24)
+T_CHUNK = 1024  # max tracks per device call (bounds padded HBM temps)
 
 
 def _bucket_t(n: int, minimum: int = 32) -> int:
@@ -311,24 +317,60 @@ class IncrementalTriangulator:
 
     # -- batched create (one vmapped device call per image) -------------
 
-    def _batched_estimator(self, camera_model: str, t_bucket: int,
-                           residual: str = "angular"):
-        key = ("batch", camera_model, t_bucket, residual)
+    def _batched_estimator(self, camera_model: str, residual: str):
+        """Jitted SoA batch estimator; shapes specialize inside jit."""
+        key = ("batch_soa", camera_model, residual)
         if key not in self._jit_cache:
-            if residual == "angular":
-                base = tri_est.estimate_triangulation
-            else:
-                base = _estimate_triangulation_pixel
-
             def run(lines, proj, centers, params, valid, width, height,
                     max_err, min_ang):
-                f = jax.vmap(
-                    lambda l, p, c, pa, v: base(
-                        l, p, c, pa, v, camera_model, width, height,
-                        max_err, min_ang))
-                return f(lines, proj, centers, params, valid)
+                return tri_batch.estimate_triangulation_batch(
+                    lines, proj, centers, params, valid, camera_model,
+                    width, height, max_err, min_ang, residual=residual)
             self._jit_cache[key] = jax.jit(run, static_argnums=(5, 6))
         return self._jit_cache[key]
+
+    def _solve_pools(self, pools, residual: str, max_err, min_ang_rad,
+                     phase: str):
+        """Solve many pools: bucket by pool size, chunk the track axis.
+
+        Pool-size buckets keep the combination count proportional to the
+        actual pool (a 4-obs init pool pays C(4,3)=4 hypotheses, not
+        C(24,3)=2024), and the SoA estimator bounds the padded-layout HBM
+        footprint; chunking bounds peak memory on huge rounds.
+
+        Returns (success (T,), inlier_mask (T, MAX_POOL), xyz (T, 3))
+        aligned with ``pools``.
+        """
+        import time as _time
+        T = len(pools)
+        success = np.zeros(T, bool)
+        inl = np.zeros((T, MAX_POOL), bool)
+        xyz = np.zeros((T, 3))
+        sizes = np.fromiter((min(len(p), MAX_POOL) for p in pools),
+                            np.int64, T)
+        cam0 = self.rec.cameras[self.rec.images[pools[0][0][0]].camera_id]
+        run = self._batched_estimator(cam0.model, residual)
+        prev = 0
+        for nb in N_BUCKETS:
+            sel = np.nonzero((sizes > prev) & (sizes <= nb))[0]
+            prev = nb
+            for lo in range(0, len(sel), T_CHUNK):
+                idx = sel[lo:lo + T_CHUNK]
+                sub = [pools[i] for i in idx]
+                t0 = _time.perf_counter()
+                Tb = min(_bucket_t(len(sub)), T_CHUNK)
+                lines, projs, centers, params, valid, _ = \
+                    self._pools_to_arrays(sub, Tb, nb)
+                t0 = self._tick(f"{phase}_pack", t0)
+                res = run(jnp.asarray(lines), jnp.asarray(projs),
+                          jnp.asarray(centers), jnp.asarray(params),
+                          jnp.asarray(valid), cam0.width, cam0.height,
+                          max_err, min_ang_rad)
+                success[idx] = np.asarray(res.success)[:len(sub)]
+                inl[idx, :nb] = np.asarray(res.inlier_mask)[:len(sub)]
+                xyz[idx] = np.asarray(res.point3d)[:len(sub)]
+                self._tick(f"{phase}_solve", t0)
+        return success, inl, xyz
 
     def _flat_tables(self):
         """Per-feature line table (static) + per-call pose/param tables.
@@ -356,8 +398,8 @@ class IncrementalTriangulator:
                 params[d] = self.rec.cameras[img.camera_id].params
         return self._lines_flat, proj, centers, params
 
-    def _pools_to_arrays(self, pools, t_bucket: int):
-        """Pad T pools to (t_bucket, MAX_POOL) fixed-shape solver inputs.
+    def _pools_to_arrays(self, pools, t_bucket: int, n_pool: int = MAX_POOL):
+        """Pad T pools to (t_bucket, n_pool) fixed-shape solver inputs.
 
         Vectorized: one flat-feature index list comprehension, then pure
         fancy-indexed gathers from the flat tables (the previous per-row
@@ -365,15 +407,15 @@ class IncrementalTriangulator:
         a top-3 mapper host cost)."""
         view = self.view
         if view is None:
-            return self._pools_to_arrays_slow(pools, t_bucket)
+            return self._pools_to_arrays_slow(pools, t_bucket, n_pool)
         fo = view.feat_offset
         dense = view.dense
         lines_flat, proj_d, centers_d, params_d = self._flat_tables()
         feat = np.fromiter(
             (int(fo[dense[iid]]) + li
-             for pool in pools for iid, li in pool[:MAX_POOL]),
+             for pool in pools for iid, li in pool[:n_pool]),
             np.int64)
-        sizes = np.fromiter((min(len(p), MAX_POOL) for p in pools),
+        sizes = np.fromiter((min(len(p), n_pool) for p in pools),
                             np.int64, len(pools))
         ptr = np.concatenate([[0], np.cumsum(sizes)])
         t_idx = np.repeat(np.arange(len(pools)), sizes)
@@ -381,12 +423,12 @@ class IncrementalTriangulator:
         img_d = np.searchsorted(fo, feat, "right") - 1
 
         cam0 = self.rec.cameras[self.rec.images[pools[0][0][0]].camera_id]
-        lines = np.zeros((t_bucket, MAX_POOL, 3))
+        lines = np.zeros((t_bucket, n_pool, 3))
         lines[..., 0] = 1.0
-        projs = np.tile(np.eye(3, 4), (t_bucket, MAX_POOL, 1, 1))
-        centers = np.zeros((t_bucket, MAX_POOL, 3))
-        valid = np.zeros((t_bucket, MAX_POOL), bool)
-        params = np.tile(cam0.params, (t_bucket, MAX_POOL, 1))
+        projs = np.tile(np.eye(3, 4), (t_bucket, n_pool, 1, 1))
+        centers = np.zeros((t_bucket, n_pool, 3))
+        valid = np.zeros((t_bucket, n_pool), bool)
+        params = np.tile(cam0.params, (t_bucket, n_pool, 1))
         lines[t_idx, slot] = lines_flat[feat]
         projs[t_idx, slot] = proj_d[img_d]
         centers[t_idx, slot] = centers_d[img_d]
@@ -394,18 +436,19 @@ class IncrementalTriangulator:
         valid[t_idx, slot] = True
         return lines, projs, centers, params, valid, cam0
 
-    def _pools_to_arrays_slow(self, pools, t_bucket: int):
+    def _pools_to_arrays_slow(self, pools, t_bucket: int,
+                              n_pool: int = MAX_POOL):
         """Per-row fallback when no CSR view exists (tiny graphs)."""
-        lines = np.zeros((t_bucket, MAX_POOL, 3))
+        lines = np.zeros((t_bucket, n_pool, 3))
         lines[..., 0] = 1.0
-        projs = np.tile(np.eye(3, 4), (t_bucket, MAX_POOL, 1, 1))
-        centers = np.zeros((t_bucket, MAX_POOL, 3))
-        valid = np.zeros((t_bucket, MAX_POOL), bool)
+        projs = np.tile(np.eye(3, 4), (t_bucket, n_pool, 1, 1))
+        centers = np.zeros((t_bucket, n_pool, 3))
+        valid = np.zeros((t_bucket, n_pool), bool)
         cam0 = self.rec.cameras[self.rec.images[pools[0][0][0]].camera_id]
-        params = np.tile(cam0.params, (t_bucket, MAX_POOL, 1))
+        params = np.tile(cam0.params, (t_bucket, n_pool, 1))
         proj_cache = {}
         for t, pool in enumerate(pools):
-            for i, (iid, li) in enumerate(pool[:MAX_POOL]):
+            for i, (iid, li) in enumerate(pool[:n_pool]):
                 img = self.rec.images[iid]
                 if iid not in proj_cache:
                     proj_cache[iid] = (img.projection_matrix(),
@@ -434,22 +477,11 @@ class IncrementalTriangulator:
         rounds = 0
         while pools and rounds < 4:
             rounds += 1
-            T = len(pools)
-            Tb = _bucket_t(T)
             t0 = _time.perf_counter()
-            lines, projs, centers, params, valid, cam0 = \
-                self._pools_to_arrays(pools, Tb)
-            t0 = self._tick("tri/create_pack", t0)
-            run = self._batched_estimator(cam0.model, Tb)
-            res = run(jnp.asarray(lines), jnp.asarray(projs),
-                      jnp.asarray(centers), jnp.asarray(params),
-                      jnp.asarray(valid), cam0.width, cam0.height,
-                      np.deg2rad(options.create_max_angle_error),
-                      np.deg2rad(options.min_angle))
-            success = np.asarray(res.success)
-            inl = np.asarray(res.inlier_mask)
-            xyz = np.asarray(res.point3d)
-            t0 = self._tick("tri/create_solve", t0)
+            success, inl, xyz = self._solve_pools(
+                pools, "angular",
+                np.deg2rad(options.create_max_angle_error),
+                np.deg2rad(options.min_angle), "tri/create")
 
             next_pools = []
             for t, pool in enumerate(pools):
@@ -583,19 +615,9 @@ class IncrementalTriangulator:
                 continue
             fresh.append(full)
         if fresh:
-            Tb = _bucket_t(len(fresh))
-            lines, projs, centers, params, valid, cam0 = \
-                self._pools_to_arrays(fresh, Tb)
-            t0 = self._tick("cmp/fresh_pack", t0)
-            run = self._batched_estimator(cam0.model, Tb, "pixel")
-            res = run(jnp.asarray(lines), jnp.asarray(projs),
-                      jnp.asarray(centers), jnp.asarray(params),
-                      jnp.asarray(valid), cam0.width, cam0.height,
-                      options.complete_max_reproj_error,
-                      np.deg2rad(options.min_angle))
-            success = np.asarray(res.success)
-            inl = np.asarray(res.inlier_mask)
-            xyz = np.asarray(res.point3d)
+            success, inl, xyz = self._solve_pools(
+                fresh, "pixel", options.complete_max_reproj_error,
+                np.deg2rad(options.min_angle), "cmp/fresh")
             t0 = self._tick("cmp/fresh_solve", t0)
             for t, full in enumerate(fresh):
                 if not success[t]:

@@ -140,3 +140,72 @@ class TestEstimateTriangulation:
         # Deterministic across calls.
         np.testing.assert_array_equal(
             c64, tri_est._keyless_combinations.__wrapped__(64, 2048))
+
+
+class TestEstimateTriangulationBatch:
+    """SoA batch solver (solvers/triangulation_batch.py) equivalence."""
+
+    def _batch_inputs(self, tracks, n_obs):
+        lines = jnp.asarray(np.stack([t[1] for t in tracks]))
+        projs = jnp.asarray(np.stack([t[2] for t in tracks]))
+        centers = jnp.asarray(np.stack([t[3] for t in tracks]))
+        params = jnp.broadcast_to(jnp.asarray([500.0, 320.0, 240.0]),
+                                  (len(tracks), n_obs, 3))
+        return lines, projs, centers, params
+
+    def test_matches_per_track_estimator(self):
+        from privacy_preserving_sfm_tpu.solvers import (
+            triangulation_batch as tri_batch)
+
+        rng = np.random.default_rng(11)
+        tracks = [make_track(rng, n_obs=9) for _ in range(12)]
+        lines, projs, centers, params = self._batch_inputs(tracks, 9)
+        # Corrupt a couple of observations in some tracks.
+        lines_np = np.asarray(lines).copy()
+        for t in (2, 5, 9):
+            bad = rng.standard_normal((2, 3))
+            bad /= np.linalg.norm(bad[:, :2], axis=-1, keepdims=True)
+            lines_np[t, [1, 6]] = bad
+        lines = jnp.asarray(lines_np)
+        valid = jnp.ones((12, 9), bool)
+
+        res_b = tri_batch.estimate_triangulation_batch(
+            lines, projs, centers, params, valid, "SIMPLE_PINHOLE",
+            640, 480, np.deg2rad(2.0), np.deg2rad(1.5))
+        f = jax.vmap(lambda l, p, c, cp: tri_est.estimate_triangulation(
+            l, p, c, cp, jnp.ones(9, bool), "SIMPLE_PINHOLE", 640, 480,
+            np.deg2rad(2.0), np.deg2rad(1.5)))
+        res_v = f(lines, projs, centers, params)
+
+        np.testing.assert_array_equal(np.asarray(res_b.success),
+                                      np.asarray(res_v.success))
+        np.testing.assert_array_equal(np.asarray(res_b.num_inliers),
+                                      np.asarray(res_v.num_inliers))
+        np.testing.assert_array_equal(np.asarray(res_b.inlier_mask),
+                                      np.asarray(res_v.inlier_mask))
+        np.testing.assert_allclose(np.asarray(res_b.point3d),
+                                   np.asarray(res_v.point3d),
+                                   rtol=1e-5, atol=1e-6)
+        pts_gt = np.stack([t[0] for t in tracks])
+        np.testing.assert_allclose(np.asarray(res_b.point3d), pts_gt,
+                                   atol=1e-4)
+
+    def test_pixel_residual_and_padding(self):
+        from privacy_preserving_sfm_tpu.solvers import (
+            triangulation_batch as tri_batch)
+
+        rng = np.random.default_rng(13)
+        tracks = [make_track(rng, n_obs=6) for _ in range(4)]
+        lines, projs, centers, params = self._batch_inputs(tracks, 6)
+        # Track 3: only 4 valid observations (padding mask).
+        valid = np.ones((4, 6), bool)
+        valid[3, 4:] = False
+        res = tri_batch.estimate_triangulation_batch(
+            lines, projs, centers, params, jnp.asarray(valid),
+            "SIMPLE_PINHOLE", 640, 480, 4.0, np.deg2rad(1.5),
+            residual="pixel")
+        assert np.asarray(res.success).all()
+        assert not np.asarray(res.inlier_mask)[3, 4:].any()
+        pts_gt = np.stack([t[0] for t in tracks])
+        np.testing.assert_allclose(np.asarray(res.point3d), pts_gt,
+                                   atol=1e-4)
