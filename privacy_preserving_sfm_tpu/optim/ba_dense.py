@@ -217,9 +217,17 @@ def bundle_adjust_dense(problem: DenseBAProblem, camera_model: str,
                         and schur_pcg.explicit_fits(C))
     else:
         use_explicit = False
-    # The fused Pallas PCG only runs on real TPU backends; on CPU the
-    # explicit system is solved with the same PCG in plain XLA.
-    use_pallas = jax.default_backend() != "cpu"
+    # PCG on the explicit system: the fused Pallas kernel (pcg_fused) is
+    # a measured ~1 ms/LM-iter win standalone, but compiled INSIDE this
+    # LM while-loop it intermittently faults the TPU worker (round-3
+    # repro: box50 global BA at 16 images crashed 3/3 at the same solve;
+    # the identical problem solves clean with the in-jit XLA loop, and
+    # the kernel alone survives even NaN inputs — a program-context
+    # miscompile we cannot root-cause economically).  Default to the
+    # XLA fori-loop PCG; PPSFM_PCG=fused re-enables the kernel.
+    import os as _os
+    use_pallas = (jax.default_backend() != "cpu"
+                  and _os.environ.get("PPSFM_PCG", "xla") == "fused")
     n_pad = schur_pcg.padded_dim(C)
     # S_corr materialization: fused Pallas Gram (V never touches HBM)
     # when the shape fits, else the XLA U-matrix path.

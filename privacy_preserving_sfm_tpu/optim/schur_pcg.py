@@ -83,6 +83,13 @@ def pcg_fused(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
 
     n = S.shape[0]
     rhs2 = rhs.reshape(1, n)
+    # Scoped-VMEM cap sized to the kernel's actual footprint (S + Minv +
+    # CG vectors, x2 slack), not a blanket 100 MB: an oversized cap
+    # interacts with the surrounding program's VMEM pressure and was
+    # implicated in TPU worker faults when this kernel ran inside the
+    # mapper's full LM program (round 3).  Floor at the 16 MB default.
+    need = 4 * (2 * n * n + 16 * n)
+    vmem_cap = max(16 * 1024 * 1024, min(2 * need, 100 * 1024 * 1024))
     out = pl.pallas_call(
         functools.partial(_pcg_kernel, iters=iters),
         out_shape=jax.ShapeDtypeStruct((1, n), rhs.dtype),
@@ -90,10 +97,8 @@ def pcg_fused(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        # S + Minv alone are ~19 MB at N=1536 (C=256); v5e has 128 MiB
-        # physical VMEM, so raise the 16 MB default scoped cap.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=vmem_cap),
         interpret=interpret,
     )(S, Minv, rhs2)
     return out.reshape(n)
