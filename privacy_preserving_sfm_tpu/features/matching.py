@@ -69,6 +69,59 @@ def _top2_max(dots: jax.Array, axis: int):
     return best, second, best_idx
 
 
+def _use_kernel(n1: int, n2: int, d: int) -> bool:
+    """Fused int8 Pallas path: TPU backends, lane-aligned shapes."""
+    return (jax.default_backend() != "cpu" and d == 128
+            and n1 % 128 == 0 and n2 % 128 == 0)
+
+
+def _top2_both_batched(d1s, d2s, valid1, valid2):
+    """Top-2 dots + argmax in both directions for B pairs.
+
+    d1s (B, N1, 128) u8, d2s (B, N2, 128) u8, valid (B, N).  Returns
+    (bd12, sd12, idx12, bd21, sd21, idx21) raw-dot f32 / int32 arrays.
+    On TPU this streams int8 MXU tiles through a fused Pallas top-2
+    (the (N1, N2) dot matrix never exists in HBM); elsewhere it falls
+    back to the XLA argmax/mask/max formulation.
+    """
+    b, n1, d = d1s.shape
+    n2 = d2s.shape[1]
+    if _use_kernel(n1, n2, d):
+        from privacy_preserving_sfm_tpu.features import matching_kernels
+
+        bd12, sd12, idx12 = matching_kernels.top2_scores(d1s, d2s, valid2)
+        bd21, sd21, idx21 = matching_kernels.top2_scores(d2s, d1s, valid1)
+        return bd12, sd12, idx12, bd21, sd21, idx21
+
+    def one(d1, d2, v1, v2):
+        dots = descriptor_dots(d1, d2)
+        dots = jnp.where(v1[:, None], dots, -BIG)
+        dots = jnp.where(v2[None, :], dots, -BIG)
+        bd12, sd12, idx12 = _top2_max(dots, axis=1)
+        bd21, sd21, idx21 = _top2_max(dots, axis=0)
+        return bd12, sd12, idx12, bd21, sd21, idx21
+
+    return jax.vmap(one)(d1s, d2s, valid1, valid2)
+
+
+def _gate_and_cross(valid1, bd12, sd12, idx12, bd21, sd21, idx21,
+                    max_ratio, max_distance, cross_check):
+    """Ratio/distance gates + mutual-NN cross check on (B, N) tables."""
+    best12, second12 = _to_angle(bd12), _to_angle(sd12)
+    ok = valid1 & (best12 < max_distance) & (best12 < max_ratio * second12)
+    if cross_check:
+        best21, second21 = _to_angle(bd21), _to_angle(sd21)
+        ok21 = (best21 < max_distance) & (best21 < max_ratio * second21)
+        back = jnp.take_along_axis(idx21, idx12, axis=1)
+        okb = jnp.take_along_axis(ok21, idx12, axis=1)
+        mutual = (back == jnp.arange(idx12.shape[1])[None, :]) & okb
+        ok = ok & mutual
+    matches = jnp.where(ok, idx12, -1)
+    return MatchResult(matches=matches.astype(jnp.int32),
+                       num_matches=jnp.sum(ok, axis=1).astype(jnp.int32),
+                       best_dist=best12)
+
+
 def match_descriptors(
     desc1: jax.Array,
     desc2: jax.Array,
@@ -82,41 +135,32 @@ def match_descriptors(
 
     Defaults are ``SiftMatchingOptions`` (``sift.h:117-144``).
     """
-    dots = descriptor_dots(desc1, desc2)  # (N1, N2), larger = closer
-    if valid1 is not None:
-        dots = jnp.where(valid1[:, None], dots, -BIG)
-    if valid2 is not None:
-        dots = jnp.where(valid2[None, :], dots, -BIG)
-
-    bd12, sd12, idx12 = _top2_max(dots, axis=1)
-    best12, second12 = _to_angle(bd12), _to_angle(sd12)
-    ok = (best12 < max_distance) & (best12 < max_ratio * second12)
-
-    if cross_check:
-        bd21, sd21, idx21 = _top2_max(dots, axis=0)
-        best21, second21 = _to_angle(bd21), _to_angle(sd21)
-        ok21 = (best21 < max_distance) & (best21 < max_ratio * second21)
-        mutual = (jnp.take(idx21, idx12) == jnp.arange(idx12.shape[0])) \
-            & jnp.take(ok21, idx12)
-        ok = ok & mutual
-
-    matches = jnp.where(ok, idx12, -1)
-    return MatchResult(matches=matches.astype(jnp.int32),
-                       num_matches=jnp.sum(ok).astype(jnp.int32),
-                       best_dist=best12)
+    if valid1 is None:
+        valid1 = jnp.ones(desc1.shape[0], bool)
+    if valid2 is None:
+        valid2 = jnp.ones(desc2.shape[0], bool)
+    res = _gate_and_cross(
+        valid1[None],
+        *_top2_both_batched(desc1[None], desc2[None], valid1[None],
+                            valid2[None]),
+        max_ratio, max_distance, cross_check)
+    return MatchResult(matches=res.matches[0],
+                       num_matches=res.num_matches[0],
+                       best_dist=res.best_dist[0])
 
 
 def match_many_pairs(desc: jax.Array, valid: jax.Array,
-                     pairs: jax.Array, **kwargs) -> MatchResult:
-    """vmap matcher over a (B, 2) array of image-index pairs.
+                     pairs: jax.Array, max_ratio: float = 0.8,
+                     max_distance: float = 0.7,
+                     cross_check: bool = True) -> MatchResult:
+    """Batched matcher over a (B, 2) array of image-index pairs.
 
     desc: (I, N, 128) stacked per-image descriptor tables (padded);
     valid: (I, N).  Used by the exhaustive/sequential schedulers to batch
     whole blocks of pairs into one device call
     (block structure: ``matching.cc:436-498``).
     """
-    def one(pair):
-        return match_descriptors(desc[pair[0]], desc[pair[1]],
-                                 valid[pair[0]], valid[pair[1]], **kwargs)
-
-    return jax.vmap(one)(pairs)
+    d1s, d2s = desc[pairs[:, 0]], desc[pairs[:, 1]]
+    v1s, v2s = valid[pairs[:, 0]], valid[pairs[:, 1]]
+    return _gate_and_cross(v1s, *_top2_both_batched(d1s, d2s, v1s, v2s),
+                           max_ratio, max_distance, cross_check)
