@@ -61,9 +61,10 @@ class DatabaseCache:
         cache = cls()
 
         for cid, c in db.read_cameras().items():
-            cache.cameras[cid] = Camera(camera_id=cid, model=c["model"],
-                                        width=c["width"], height=c["height"],
-                                        params=c["params"])
+            cache.cameras[cid] = Camera(
+                camera_id=cid, model=c["model"],
+                width=c["width"], height=c["height"], params=c["params"],
+                prior_focal_length=bool(c.get("prior_focal_length", True)))
 
         db_images = db.read_images()
         all_matches = db.read_all_matches()

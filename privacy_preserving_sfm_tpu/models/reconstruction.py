@@ -27,6 +27,10 @@ class Camera:
     width: int
     height: int
     params: np.ndarray
+    # True when the focal came from EXIF / an explicit sidecar rather than
+    # the max-dim heuristic (``cameras.prior_focal_length`` DB column);
+    # prior-less cameras are eligible for focal search at registration.
+    prior_focal_length: bool = True
 
     def mean_focal_length(self) -> float:
         spec = MODELS[self.model]

@@ -107,6 +107,14 @@ class BAOptions(NamedTuple):
     #   "fused" — force the kernel (Pallas interpreter on CPU: tests).
     #   "xla"   — force the U-matrix path.
     gram_mode: str = "auto"
+    # Intrinsics refinement (reference BundleAdjustmentOptions.refine_*,
+    # bundle_adjustment.cc:490-528; all default OFF — known calibration).
+    # When any is set the mapper routes the solve through
+    # optim/ba_intrinsics.py (projectively corrected lifted lines) and
+    # bakes the converged correction back into the stored lines.
+    refine_focal_length: bool = False
+    refine_principal_point: bool = False
+    refine_extra_params: bool = False
 
 
 class BASummary(NamedTuple):

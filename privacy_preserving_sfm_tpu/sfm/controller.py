@@ -59,6 +59,12 @@ class ControllerOptions:
     ba_local_max_refinement_change: float = 0.001
     ba_global_max_refinements: int = 5
     ba_global_max_refinement_change: float = 0.0005
+    # Intrinsics refinement (reference controllers/incremental_mapper.h:
+    # 79-83; all false — the lift bakes calibration into the lines, see
+    # optim/ba_intrinsics.py for the corrected-line formulation).
+    ba_refine_focal_length: bool = False
+    ba_refine_principal_point: bool = False
+    ba_refine_extra_params: bool = False
     snapshot_path: str = ""
     snapshot_images_freq: int = 0
     mapper: MapperOptions = dataclasses.field(default_factory=MapperOptions)
@@ -73,13 +79,19 @@ class ControllerOptions:
         return ba_mod.BAOptions(
             max_iterations=self.ba_local_max_num_iterations,
             loss="soft_l1", loss_scale=1.0,
-            function_tolerance=0.0, gradient_tolerance=10.0)
+            function_tolerance=0.0, gradient_tolerance=10.0,
+            refine_focal_length=self.ba_refine_focal_length,
+            refine_principal_point=self.ba_refine_principal_point,
+            refine_extra_params=self.ba_refine_extra_params)
 
     def global_ba_options(self) -> ba_mod.BAOptions:
         return ba_mod.BAOptions(
             max_iterations=self.ba_global_max_num_iterations,
             loss="trivial",
-            function_tolerance=0.0, gradient_tolerance=1.0)
+            function_tolerance=0.0, gradient_tolerance=1.0,
+            refine_focal_length=self.ba_refine_focal_length,
+            refine_principal_point=self.ba_refine_principal_point,
+            refine_extra_params=self.ba_refine_extra_params)
 
 
 class IncrementalMapperController:
@@ -132,6 +144,10 @@ class IncrementalMapperController:
         if not self.load_database():
             self._log("WARNING: no images with matches found")
             return []
+        # Mirror the reference's Mapper() factory: focal refinement at
+        # registration follows the BA flag (incremental_mapper.cc:176).
+        if self.options.ba_refine_focal_length:
+            self.options.mapper.abs_pose_refine_focal_length = True
         init_options = copy.deepcopy(self.options.mapper)
         self.reconstruct(init_options)
         for _ in range(2):

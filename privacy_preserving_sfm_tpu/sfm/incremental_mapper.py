@@ -57,6 +57,14 @@ class MapperOptions:
     min_focal_length_ratio: float = 0.1
     max_focal_length_ratio: float = 10.0
     max_extra_param: float = 1.0
+    # Focal search at registration for prior-less cameras (reference
+    # ``incremental_mapper.cc:660-714`` sets this machinery up; in the
+    # line fork the estimator ignores it — dead code there.  Here the
+    # search is real: candidate focals act on lifted lines as the
+    # projective correction of ops/ba_intrinsics, scored by P6L RANSAC
+    # support).  Off by default like ``abs_pose_refine_focal_length``.
+    abs_pose_refine_focal_length: bool = False
+    num_focal_length_samples: int = 30
     fix_existing_images: bool = False
     num_hypotheses: int = 4096  # P6L RANSAC batch (ref: 100..10000 trials)
     init_num_samples: int = 1024
@@ -410,6 +418,16 @@ class IncrementalMapper:
         if len(tri_corrs) < max(options.abs_pose_min_num_inliers, 6):
             return False
 
+        if (options.abs_pose_refine_focal_length
+                and not cam.prior_focal_length
+                and not any(o.registered and o.camera_id == cam.camera_id
+                            for o in self.rec.images.values())):
+            # First registration of a prior-less camera: focal search
+            # over geometric candidates, scored by P6L support
+            # (reference analogue: incremental_mapper.cc:676-714 /
+            # upstream COLMAP focal sampling).
+            self._focal_search(options, image_id, tri_corrs)
+
         lines = np.stack([img.lines[li] for li, _ in tri_corrs])
         aligned = np.asarray([img.aligned[li] for li, _ in tri_corrs])
         points = np.stack([self.rec.points3d[pid].xyz
@@ -488,6 +506,84 @@ class IncrementalMapper:
                 self.rec.add_observation(pid, image_id, line_idx)
                 self.triangulator.modified_point3d_ids.add(pid)
         return True
+
+    def _focal_search(self, options: MapperOptions, image_id: int,
+                      tri_corrs) -> None:
+        """Pick the focal factor with the best P6L RANSAC support.
+
+        Candidate focals act on the lifted lines as ``(a, b, c/s)`` (the
+        isotropic case of ba_intrinsics.corrected_line); all candidates
+        are scored in ONE device call by vmapping the pose kernel over
+        the factor axis, with per-candidate normalized thresholds.  The
+        winning focal is baked into the camera and every image's lines.
+        """
+        from privacy_preserving_sfm_tpu.ops import cameras as cam_ops
+        from privacy_preserving_sfm_tpu.optim import ba_intrinsics as bai
+
+        img = self.rec.images[image_id]
+        cam = self.rec.cameras[img.camera_id]
+        S = options.num_focal_length_samples
+        # Geometric factors spanning the plausible focal-ratio band
+        # relative to the current (heuristic) focal.
+        f0 = cam.mean_focal_length()
+        max_dim = max(cam.width, cam.height)
+        lo = options.min_focal_length_ratio * max_dim / f0
+        hi = options.max_focal_length_ratio * max_dim / f0
+        scales = np.geomspace(max(lo, 0.05), min(hi, 20.0), S)
+
+        lines = np.stack([img.lines[li] for li, _ in tri_corrs])
+        aligned = np.asarray([img.aligned[li] for li, _ in tri_corrs])
+        points = np.stack([self.rec.points3d[pid].xyz
+                           for _, pid in tri_corrs])
+        n = _bucket(len(tri_corrs))
+        lines_p = np.zeros((S, n, 3))
+        lines_p[:, :, 0] = 1.0
+        # l(s) = normalize_ab(a, b, c / s).
+        cand = np.broadcast_to(lines, (S, len(tri_corrs), 3)).copy()
+        cand[:, :, 2] /= scales[:, None]
+        lines_p[:, :len(tri_corrs)] = cand
+        aligned_p = np.zeros(n, bool)
+        aligned_p[:len(tri_corrs)] = aligned
+        points_p = np.zeros((n, 3))
+        points_p[:len(tri_corrs)] = points
+        valid = np.zeros(n, bool)
+        valid[:len(tri_corrs)] = True
+        thresh = options.abs_pose_max_error / (scales * f0)
+
+        nh = max(256, options.num_hypotheses // 4)
+        kkey = ("focal", S, n, nh)
+        if kkey not in self._jit_pose:
+            def run(k, ls, al, p, v, th):
+                f = jax.vmap(
+                    lambda l, t: p6l.estimate_absolute_pose_from_lines(
+                        k, l, al, p, v, t, num_hypotheses=nh))
+                return f(ls, th)
+            self._jit_pose[kkey] = jax.jit(run)
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2 ** 31)))
+        res = self._jit_pose[kkey](
+            key, jnp.asarray(lines_p), jnp.asarray(aligned_p),
+            jnp.asarray(points_p), jnp.asarray(valid), jnp.asarray(thresh))
+        inl = np.where(np.asarray(res.success),
+                       np.asarray(res.num_inliers), -1)
+        best = int(np.argmax(inl))
+        if inl[best] < options.abs_pose_min_num_inliers:
+            return  # keep the heuristic focal; registration decides
+        s_best = float(scales[best])
+        if abs(s_best - 1.0) < 1e-6:
+            return
+        old = np.asarray(cam.params, float)
+        spec = cam_ops.MODELS[cam.model]
+        new = old.copy()
+        for fi in spec.focal_idxs:
+            new[fi] = old[fi] * s_best
+        for other in self.rec.images.values():
+            if other.camera_id == cam.camera_id and len(other.lines):
+                other.lines = bai.correct_lines(other.lines, old, new,
+                                                cam.model)
+        cam.params = new
+        self.triangulator._lines_flat = None
+        print(f"  => Focal search: {f0:.1f} -> {f0 * s_best:.1f} "
+              f"({inl[best]} inliers)")
 
     def _init_kernel(self, na: int, nu: int, num_samples: int,
                      chunk: int = 128):
@@ -762,6 +858,12 @@ class IncrementalMapper:
             obs_weight=jnp.asarray(obs_weight),
             cam_dof_mask=jnp.asarray(dof_mask),
             point_mask=jnp.asarray(point_mask))
+
+        if (ba_options.refine_focal_length
+                or ba_options.refine_principal_point
+                or ba_options.refine_extra_params):
+            return self._run_ba_intrinsics(problem, cam_list, point_index,
+                                           dof_mask, ba_options)
         # On accelerators, convert to dense per-point blocks: scatter-free
         # point reductions + the explicit-Schur fused-PCG path
         # (optim/schur_pcg.py) when the camera system fits in VMEM.  On
@@ -830,6 +932,84 @@ class IncrementalMapper:
             if point_mask[slot] > 0:
                 self.rec.points3d[pid].xyz = X[slot]
         return True, len(obs)
+
+    def _run_ba_intrinsics(self, problem: ba_mod.BAProblem,
+                           cam_list: Sequence[int], point_index: Dict[int, int],
+                           dof_mask: np.ndarray,
+                           ba_options: ba_mod.BAOptions):
+        """Variable-intrinsics solve (optim/ba_intrinsics) + line baking.
+
+        Intrinsics are shared per unique camera id across the image slots
+        (Ceres block-sharing semantics); after an accepted solve the
+        projective line correction is baked into the stored lines of
+        EVERY image of each refined camera so the reconstruction's
+        lines/params stay mutually consistent (see ba_intrinsics module
+        docstring).  Reference: ``bundle_adjustment.cc:490-528``.
+        """
+        from privacy_preserving_sfm_tpu.optim import ba_intrinsics as bai
+
+        rec = self.rec
+        C = problem.qvecs.shape[0]
+        cam_ids = []  # unique camera ids, slot order
+        cam_of_slot = np.zeros(C, np.int32)
+        for i, iid in enumerate(cam_list):
+            cid = rec.images[iid].camera_id
+            if cid not in cam_ids:
+                cam_ids.append(cid)
+            cam_of_slot[i] = cam_ids.index(cid)
+        # Padded slots keep camera 0 (their observations carry weight 0).
+        model = rec.cameras[cam_ids[0]].model
+        intr = np.stack([rec.cameras[cid].params for cid in cam_ids])
+        mask1 = bai.intr_mask_for_model(
+            model, ba_options.refine_focal_length,
+            ba_options.refine_principal_point,
+            ba_options.refine_extra_params)
+        intr_mask = np.tile(mask1, (len(cam_ids), 1))
+        iproblem = bai.IntrBAProblem(
+            base=problem,
+            cam_of_slot=jnp.asarray(cam_of_slot),
+            intr_params=jnp.asarray(intr),
+            intr_mask=jnp.asarray(intr_mask),
+            lift_params=jnp.asarray(intr))
+        ba_key = ("intr", problem.qvecs.shape, problem.points3d.shape,
+                  problem.obs_cam.shape, len(cam_ids), model, ba_options)
+        if ba_key not in self._jit_ba:
+            self._jit_ba[ba_key] = jax.jit(
+                lambda p: bai.bundle_adjust_intrinsics(p, model,
+                                                       ba_options))
+        q, t, X, intr_new, summary = self._jit_ba[ba_key](iproblem)
+        q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
+        intr_new = np.asarray(intr_new)
+        if not (np.isfinite(q).all() and np.isfinite(t).all()
+                and np.isfinite(X).all() and np.isfinite(intr_new).all()):
+            return False, int(np.asarray(problem.obs_weight).sum())
+        for i, iid in enumerate(cam_list):
+            if dof_mask[i].any():
+                rec.images[iid].qvec = q[i]
+                rec.images[iid].tvec = t[i]
+        point_mask = np.asarray(problem.point_mask)
+        for pid, slot in point_index.items():
+            if point_mask[slot] > 0:
+                rec.points3d[pid].xyz = X[slot]
+        # Bake the correction into params + ALL lines of each camera.
+        baked = False
+        for u, cid in enumerate(cam_ids):
+            if not (intr_mask[u] > 0).any():
+                continue
+            old = np.asarray(rec.cameras[cid].params, float)
+            new = intr_new[u]
+            if np.allclose(old, new):
+                continue
+            for img in rec.images.values():
+                if img.camera_id == cid and len(img.lines):
+                    img.lines = bai.correct_lines(img.lines, old, new,
+                                                  model)
+            rec.cameras[cid].params = new
+            baked = True
+        if baked:
+            # The triangulator caches a flat line table; line values moved.
+            self.triangulator._lines_flat = None
+        return True, int(np.asarray(problem.obs_weight).sum())
 
     # -- filtering -------------------------------------------------------
 

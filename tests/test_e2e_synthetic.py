@@ -24,13 +24,16 @@ from privacy_preserving_sfm_tpu.sfm.incremental_mapper import MapperOptions
 def build_synthetic_db(path, rng, num_images=8, num_points=120,
                        aligned_ratio=0.5, drop_prob=0.1, prefix="img",
                        center=(0.0, 0.0, 0.0), pixel_noise=0.0,
-                       outlier_frac=0.0):
+                       outlier_frac=0.0, lift_focal=None):
     """GT scene -> lifted lines + perfect matches in a SQLite database.
 
     ``prefix``/``center`` allow writing several disjoint sub-scenes into
     one database (multi-model reconstruction tests); ``pixel_noise``
     perturbs the lifted point by N(0, px) pixels before the line is drawn
-    through it; ``outlier_frac`` corrupts that fraction of matches."""
+    through it; ``outlier_frac`` corrupts that fraction of matches.
+    ``lift_focal``: lift the lines (and write the camera) with this WRONG
+    focal instead of the true 500 — the uncalibrated regime (the DB
+    camera gets prior_focal_length=False)."""
     # Cameras on an arc looking at the cloud.
     qs, ts = [], []
     for i in range(num_images):
@@ -56,8 +59,10 @@ def build_synthetic_db(path, rng, num_images=8, num_points=120,
     aligned = rng.uniform(size=num_points) < aligned_ratio
 
     with Database(path) as db:
-        cam_id = db.write_camera("SIMPLE_PINHOLE", 640, 480,
-                                 np.array([500.0, 320.0, 240.0]))
+        cam_id = db.write_camera(
+            "SIMPLE_PINHOLE", 640, 480,
+            np.array([lift_focal or 500.0, 320.0, 240.0]),
+            prior_focal=lift_focal is None)
         image_ids = []
         visible = []
         for i in range(num_images):
@@ -74,6 +79,10 @@ def build_synthetic_db(path, rng, num_images=8, num_points=120,
             g = R @ np.array([0.0, 1.0, 0.0])
             uv_n = uv + rng.normal(0, pixel_noise / 500.0,
                                    uv.shape) if pixel_noise else uv
+            if lift_focal:
+                # Mis-lift: pixels were formed with f=500 but the lift
+                # normalizes with lift_focal.
+                uv_n = uv_n * (500.0 / lift_focal)
             hom = np.concatenate([uv_n, np.ones((num_points, 1))], axis=1)
             dirs = np.where(aligned[:, None],
                             np.broadcast_to(g, (num_points, 3)),
@@ -209,3 +218,34 @@ class TestEndToEnd:
         prefixes = [{n[0] for n in s} for s in reg_sets]
         assert prefixes[0] != prefixes[1]
         assert all(len(s) >= 6 for s in reg_sets), reg_sets
+
+
+class TestUncalibrated:
+    @pytest.mark.slow
+    def test_wrong_focal_refined(self, tmp_path):
+        """Lines lifted with a 12%-wrong heuristic focal; the variable-
+        intrinsics BA (+ focal search at registration) must converge to
+        within 2x the calibrated-run ATE and recover the true focal.
+
+        Reference regime: ``bundle_adjustment.cc:490-528`` intrinsics
+        subsets + the (dead-in-the-fork) focal sampling of
+        ``incremental_mapper.cc:660-714``, reformulated for lifted lines
+        (optim/ba_intrinsics.py docstring)."""
+        import dataclasses as _dc
+
+        rng = np.random.default_rng(7)
+        path = str(tmp_path / "uncal.db")
+        qs, ts, pts, image_ids = build_synthetic_db(path, rng,
+                                                    lift_focal=560.0)
+        opts = _dc.replace(FAST, ba_refine_focal_length=True)
+        ctrl = IncrementalMapperController(opts, database_path=path)
+        recs = ctrl.run()
+        assert recs, "no reconstruction produced"
+        rec = max(recs, key=lambda r: r.num_registered())
+        assert rec.num_registered() >= 6, (
+            f"only {rec.num_registered()}/8 registered")
+        err = ate_rmse(rec, qs, ts, image_ids)
+        assert err < 0.10, f"ATE {err} (calibrated clean gate is 0.05)"
+        cam = next(iter(rec.cameras.values()))
+        # True focal is 500; the lift claimed 560.
+        assert abs(cam.params[0] - 500.0) < 15.0, cam.params
