@@ -46,6 +46,13 @@ class SiftOptions(NamedTuple):
     edge_threshold: float = 10.0
     max_num_orientations: int = 2
     candidates_per_octave: int = 2048
+    # Halve the padded candidate budget per octave (each octave has 4x
+    # fewer pixels, so real detections fall off steeply — measured 980 /
+    # 300 / 108 / 24 on a textured 640x480).  The per-keypoint stages
+    # cost by the PADDED budget, so this ~2x-es extraction throughput;
+    # top-k keeps the strongest |DoG| candidates if a budget saturates.
+    octave_budget_decay: bool = True
+    min_candidates_per_octave: int = 256
     sigma0: float = 1.6
     nominal_sigma: float = 0.5
     # Feature selection under max_num_features: "scale" keeps the largest
@@ -65,6 +72,19 @@ class SiftOptions(NamedTuple):
     # and descriptor then sample the affine-normalized patch.
     estimate_affine_shape: bool = False
     affine_iterations: int = 10
+    # Per-keypoint stage backend.
+    #   "dense"  — TPU-first: orientation histograms and descriptor
+    #     spatial bins are computed DENSELY per gaussian level as
+    #     channelized convolutions (36 soft-binned gradient channels *
+    #     Gaussian window; 8 channels * tent at the descriptor bin
+    #     pitch), then each keypoint samples a handful of positions —
+    #     ~25x fewer random gathers than "gather" (the HBM-latency-bound
+    #     stage), at the cost of level-quantized window sigmas and an
+    #     axis-aligned (unrotated) spatial tent.  Repeatability/matching
+    #     parity is gated by tools/frontend_eval.py.
+    #   "gather" — per-keypoint sampled bilinear gathers (VLFeat-faithful
+    #     windows); required for estimate_affine_shape / DSP.
+    descriptor_mode: str = "dense"
 
 
 class SiftFeatures(NamedTuple):
@@ -125,7 +145,16 @@ def _octave_pyramid(octave_img: jax.Array, opts: SiftOptions):
     return gauss, dog
 
 
-def _octave_candidates(dog: jax.Array, opts: SiftOptions, dtype):
+def _octave_budget(opts: SiftOptions, octave_idx: int) -> int:
+    if not opts.octave_budget_decay:
+        return opts.candidates_per_octave
+    return max(opts.candidates_per_octave >> octave_idx,
+               min(opts.min_candidates_per_octave,
+                   opts.candidates_per_octave))
+
+
+def _octave_candidates(dog: jax.Array, opts: SiftOptions, dtype,
+                       budget: int):
     """DoG extrema + subpixel refinement of one octave.
 
     Returns (xr, yr, sr, sigma, peak_val, valid) fixed-size candidate
@@ -181,7 +210,7 @@ def _octave_candidates(dog: jax.Array, opts: SiftOptions, dtype):
 
     flat_score = score.reshape(-1)
     # Tiny octaves of small images can hold fewer pixels than the budget.
-    K = min(opts.candidates_per_octave, flat_score.shape[0])
+    K = min(budget, flat_score.shape[0])
     top_scores, top_idx = jax.lax.top_k(flat_score, K)
     valid = top_scores > 0.0
     lev = top_idx // (h * w) + 1  # DoG level index (1..S)
@@ -283,6 +312,160 @@ def _orientation_peaks(hists: jax.Array, opts: SiftOptions, dtype):
     return theta, ori_valid
 
 
+def _tent_kernel1d(radius: float, dtype) -> jnp.ndarray:
+    """Unnormalized 1D tent max(0, 1 - |t|/radius) (descriptor bin pitch)."""
+    r = max(1, int(math.ceil(radius)) - 1)
+    t = jnp.arange(-r, r + 1, dtype=dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t) / radius)
+
+
+def _channel_filter(ch: jax.Array, k: jax.Array) -> jax.Array:
+    """Separable 2D filter of a channel stack (C, H, W), channels=batch."""
+    r = (k.shape[0] - 1) // 2
+    x = ch[:, None]  # (C, 1, H, W)
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), [(0, 0), (r, r)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, :, None], (1, 1), [(r, r), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[:, 0]
+
+
+def _soft_bins(mag: jax.Array, ang: jax.Array, nbins: int, dtype):
+    """(H, W) gradients -> (nbins, H, W) soft-binned magnitude channels."""
+    binf = (ang * (nbins / (2.0 * math.pi))) % nbins
+    b0 = jnp.floor(binf)
+    fb = (binf - b0).astype(dtype)
+    chans = []
+    for b in range(nbins):
+        wgt = jnp.where(b0 == b, 1.0 - fb, 0.0) \
+            + jnp.where((b0 + 1.0) % nbins == b, fb, 0.0)
+        chans.append(mag * wgt)
+    return jnp.stack(chans)
+
+
+def _bilinear_flat(flat: jax.Array, ch_idx: jax.Array, ys: jax.Array,
+                   xs: jax.Array, h: int, w: int):
+    """Bilinear sample of a flattened (C*H*W) channel stack.
+
+    ch_idx int32 (...,) selects the channel per sample; ys/xs float.
+    """
+    xs = jnp.clip(xs, 0.0, w - 1.001)
+    ys = jnp.clip(ys, 0.0, h - 1.001)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    fx = xs - x0
+    fy = ys - y0
+    base = ch_idx * (h * w)
+
+    def take(yy, xx):
+        return jnp.take(flat, base + yy * w + xx)
+
+    return ((1 - fy) * (1 - fx) * take(y0, x0)
+            + (1 - fy) * fx * take(y0, x0 + 1)
+            + fy * (1 - fx) * take(y0 + 1, x0)
+            + fy * fx * take(y0 + 1, x0 + 1))
+
+
+def _dense_stage(gauss, glev, xr, yr, sigma, peak_val, valid,
+                 opts: SiftOptions, dtype):
+    """Dense-conv orientation + descriptor (see ``descriptor_mode``).
+
+    gauss: (S+3, H, W) gaussian levels of one octave; per-candidate
+    arrays in octave pixels.  Returns the expanded per-orientation
+    feature tuple of ``_octave_features``.
+    """
+    S = opts.octave_resolution
+    NB = 36
+    NBO = 8
+    NBP = 4
+    h, w = gauss.shape[1:]
+    K = xr.shape[0]
+    glev_c = jnp.clip(glev, 1, S)
+
+    hists = jnp.zeros((K, NB), dtype)
+    desc_levels = []
+    for l in range(1, S + 1):
+        g = gauss[l]
+        dx = 0.5 * (jnp.roll(g, -1, axis=1) - jnp.roll(g, 1, axis=1))
+        dy = 0.5 * (jnp.roll(g, -1, axis=0) - jnp.roll(g, 1, axis=0))
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ang = jnp.arctan2(dy, dx)
+        sigl = opts.sigma0 * 2.0 ** (l / S)
+
+        # Orientation: Gaussian-window histogram == Gaussian filter of the
+        # soft-binned magnitude channels, evaluated at the keypoint.
+        ch36 = _soft_bins(mag, ang, NB, dtype)
+        ch36 = _channel_filter(ch36, _gauss_kernel1d(1.5 * sigl, dtype))
+        flat36 = ch36.reshape(-1)
+        bins = jnp.arange(NB, dtype=jnp.int32)
+        hist_l = _bilinear_flat(
+            flat36, jnp.broadcast_to(bins, (K, NB)),
+            jnp.broadcast_to(yr[:, None], (K, NB)),
+            jnp.broadcast_to(xr[:, None], (K, NB)), h, w)
+        hists = hists + jnp.where((glev_c == l)[:, None], hist_l, 0.0)
+
+        # Descriptor: spatial-bin pooling == tent filter at the bin pitch
+        # (3 sigma_l px) of the 8 soft-binned channels.
+        ch8 = _soft_bins(mag, ang, NBO, dtype)
+        desc_levels.append(
+            _channel_filter(ch8, _tent_kernel1d(3.0 * sigl, dtype)))
+    dstack = jnp.stack(desc_levels).reshape(-1)  # (S*NBO*H*W,)
+
+    theta, ori_valid = _orientation_peaks(hists, opts, dtype)
+
+    n_ori = opts.max_num_orientations
+    Ke = K * n_ori
+    lev_e = jnp.repeat(glev_c, n_ori)
+    xr_e = jnp.repeat(xr, n_ori)
+    yr_e = jnp.repeat(yr, n_ori)
+    sig_e = jnp.repeat(sigma, n_ori)
+    th_e = theta.reshape(-1)
+    val_e = jnp.repeat(valid, n_ori) & ori_valid.reshape(-1)
+    peak_e = jnp.repeat(peak_val, n_ori)
+
+    # 16 rotated bin-center positions x 8 channels per keypoint.
+    centers = jnp.asarray([b - (NBP - 1) / 2.0 for b in range(NBP)], dtype)
+    cj, ci = jnp.meshgrid(centers, centers, indexing="ij")  # y-major
+    ci = ci.reshape(-1)  # (16,) x bin coords
+    cj = cj.reshape(-1)
+    gw = jnp.exp(-0.5 * (ci * ci + cj * cj) / (NBP / 2.0) ** 2)  # (16,)
+    ct, st = jnp.cos(th_e), jnp.sin(th_e)
+    delta = 3.0 * sig_e  # bin pitch in octave px (magnif = 3)
+    u = (ct[:, None] * ci - st[:, None] * cj) * delta[:, None]  # (Ke, 16)
+    v = (st[:, None] * ci + ct[:, None] * cj) * delta[:, None]
+    ch_off = ((lev_e - 1) * NBO)[:, None, None] + jnp.arange(
+        NBO, dtype=jnp.int32)  # (Ke, 1, 8)
+    s = _bilinear_flat(
+        dstack,
+        jnp.broadcast_to(ch_off, (Ke, 16, NBO)),
+        jnp.broadcast_to((yr_e[:, None] + v)[:, :, None], (Ke, 16, NBO)),
+        jnp.broadcast_to((xr_e[:, None] + u)[:, :, None], (Ke, 16, NBO)),
+        h, w)  # (Ke, 16, 8) absolute-orientation bin masses
+
+    # Rotate the orientation channels by theta (circular linear interp).
+    rot = (th_e * (NBO / (2.0 * math.pi))) % NBO
+    ob0 = jnp.floor(rot)
+    fo = (rot - ob0).astype(dtype)
+    o_idx = (jnp.arange(NBO, dtype=jnp.int32)[None, :]
+             + ob0.astype(jnp.int32)[:, None])  # (Ke, 8)
+    s0 = jnp.take_along_axis(
+        s, jnp.broadcast_to((o_idx % NBO)[:, None, :], (Ke, 16, NBO)),
+        axis=2)
+    s1 = jnp.take_along_axis(
+        s, jnp.broadcast_to(((o_idx + 1) % NBO)[:, None, :], (Ke, 16, NBO)),
+        axis=2)
+    d = (1.0 - fo)[:, None, None] * s0 + fo[:, None, None] * s1
+    d = d * gw[None, :, None]  # Gaussian window at bin centers
+    d = d.reshape(Ke, 128)
+    # VLFeat post-processing: L2 -> clamp 0.2 -> L2.
+    nrm = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    d = jnp.minimum(d / nrm, 0.2)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    return xr_e, yr_e, sig_e, th_e, d, val_e, peak_e
+
+
 def _octave_features(octave_img: jax.Array, octave_idx: int,
                      opts: SiftOptions, dtype):
     """Detect/refine/describe keypoints in one octave.
@@ -302,7 +485,14 @@ def _octave_features(octave_img: jax.Array, octave_idx: int,
     n_levels = S + 3
     gauss, dog = _octave_pyramid(octave_img, opts)
     h, w = octave_img.shape
-    xr, yr, sr, sigma, peak_val, valid = _octave_candidates(dog, opts, dtype)
+    xr, yr, sr, sigma, peak_val, valid = _octave_candidates(
+        dog, opts, dtype, _octave_budget(opts, octave_idx))
+
+    if (opts.descriptor_mode == "dense" and not opts.estimate_affine_shape
+            and not opts.domain_size_pooling):
+        glev = jnp.clip(jnp.round(sr).astype(jnp.int32), 0, n_levels - 1)
+        return _dense_stage(gauss, glev, xr, yr, sigma, peak_val, valid,
+                            opts, dtype)
 
     # --- Gradients per gaussian level ---------------------------------
     dx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))

@@ -54,6 +54,8 @@ def main():
                     help="index gap between pair members")
     ap.add_argument("--tol", type=float, default=3.0)
     ap.add_argument("--max_features", type=int, default=4096)
+    ap.add_argument("--descriptor_mode", default="dense",
+                    choices=("dense", "gather"))
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--json", dest="json_out")
     args = ap.parse_args()
@@ -91,7 +93,8 @@ def main():
     report = {}
     for selection in ("scale", "response"):
         opts = sift.SiftOptions(max_num_features=args.max_features,
-                                selection=selection)
+                                selection=selection,
+                                descriptor_mode=args.descriptor_mode)
         extract = jax.jit(lambda im: sift.extract_sift(im, opts))
         feats = {}
         for name in {n for p in pair_names for n in p}:
