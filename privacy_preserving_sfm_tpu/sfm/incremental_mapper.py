@@ -215,59 +215,60 @@ class IncrementalMapper:
         # Rank by aligned-track count only (unaligned weight = 0.0).
         candidates.sort(key=lambda c: -c[1])
 
-        best_ratio = 0.0
-        best_inliers = 0
-        best_poses = None
-        best_set = None
-
-        for key, _, _ in candidates[:10]:
+        # Pack ALL candidate sets into one batched device call (the
+        # reference tries every set and keeps the best inlier ratio,
+        # ``incremental_mapper.cc:430-541`` — no early exit to preserve),
+        # so init costs ONE dispatch instead of up to 10 (each round trip
+        # through the TPU tunnel costs 26 ms..minutes depending on its
+        # health; this was 59-355 s of mapper wall).
+        cand = candidates[:10]
+        B = len(cand)
+        na = max(_bucket(len(all_aligned[key])) for key, _, _ in cand)
+        nu = max(_bucket(len(all_unaligned[key])) for key, _, _ in cand)
+        al_pad = np.zeros((B, 4, na, 3))
+        al_pad[:, :, :, 0] = 1.0
+        un_pad = np.zeros((B, 4, nu, 3))
+        un_pad[:, :, :, 0] = 1.0
+        av = np.zeros((B, na), bool)
+        uv = np.zeros((B, nu), bool)
+        gravity = np.zeros((B, 4, 3))
+        max_error = np.zeros(B)
+        for b, (key, _, _) in enumerate(cand):
             atr = sorted(all_aligned[key])
             utr = sorted(all_unaligned[key])
-            aligned_lines = np.zeros((4, len(atr), 3))
-            random_lines = np.zeros((4, len(utr), 3))
             for t, feats in enumerate(atr):
                 for v in range(4):
-                    aligned_lines[v, t] = \
+                    al_pad[b, v, t] = \
                         aligned_cache.images[key[v]].lines[feats[v]]
             for t, feats in enumerate(utr):
                 for v in range(4):
-                    random_lines[v, t] = \
+                    un_pad[b, v, t] = \
                         aligned_cache.images[key[v]].lines[feats[v]]
-            gravity = np.stack([aligned_cache.images[k].gravity for k in key])
-
-            max_error = min(
+            gravity[b] = np.stack(
+                [aligned_cache.images[k].gravity for k in key])
+            max_error[b] = min(
                 aligned_cache.cameras[aligned_cache.images[k].camera_id]
                 .image_to_world_threshold(options.init_max_error)
                 for k in key)
-            # Pad track counts to buckets to bound recompiles.
-            na = _bucket(len(atr))
-            nu = _bucket(len(utr))
-            al_pad = np.zeros((4, na, 3))
-            al_pad[:, :, 0] = 1.0
-            al_pad[:, :len(atr)] = aligned_lines
-            un_pad = np.zeros((4, nu, 3))
-            un_pad[:, :, 0] = 1.0
-            un_pad[:, :len(utr)] = random_lines
-            av = np.zeros(na, bool)
-            av[:len(atr)] = True
-            uv = np.zeros(nu, bool)
-            uv[:len(utr)] = True
+            av[b, :len(atr)] = True
+            uv[b, :len(utr)] = True
 
-            run = self._init_kernel(na, nu, options.init_num_samples)
-            res = run(jax.random.PRNGKey(options.seed), jnp.asarray(al_pad),
-                      jnp.asarray(av), jnp.asarray(un_pad), jnp.asarray(uv),
-                      jnp.asarray(gravity), max_error,
-                      options.init_min_tri_angle,
-                      options.init_min_num_inliers)
-            if bool(res.success):
-                ratio = float(res.inlier_ratio)
-                if ratio > best_ratio:
-                    best_ratio = ratio
-                    best_poses = np.asarray(res.poses)
-                    best_set = key
-                    best_inliers = int(res.num_inliers)
+        run = self._init_kernel_batch(B, na, nu, options.init_num_samples)
+        res = run(jax.random.PRNGKey(options.seed), jnp.asarray(al_pad),
+                  jnp.asarray(av), jnp.asarray(un_pad), jnp.asarray(uv),
+                  jnp.asarray(gravity), jnp.asarray(max_error),
+                  options.init_min_tri_angle,
+                  options.init_min_num_inliers)
+        success = np.asarray(res.success)
+        ratios = np.where(success, np.asarray(res.inlier_ratio), -1.0)
+        best = int(np.argmax(ratios))
+        if ratios[best] <= 0.0:
+            return False
+        best_poses = np.asarray(res.poses)[best]
+        best_set = cand[best][0]
+        best_inliers = int(np.asarray(res.num_inliers)[best])
 
-        if best_poses is None or best_inliers < options.init_min_num_inliers:
+        if best_inliers < options.init_min_num_inliers:
             return False
 
         from privacy_preserving_sfm_tpu.ops import lie_np
@@ -602,6 +603,32 @@ class IncrementalMapper:
                 return init_mod.initialize_reconstruction(
                     k, al, av, un, uv, g, opts)
             self._jit_init[key] = jax.jit(run)
+        return self._jit_init[key]
+
+    def _init_kernel_batch(self, nb: int, na: int, nu: int,
+                           num_samples: int, chunk: int = 128):
+        """All candidate image sets in one vmapped device call."""
+        key = ("batch", nb, na, nu, num_samples, chunk)
+        if key not in self._jit_init:
+            def run(k, al, av, un, uv, g, max_error, min_tri, min_inl):
+                opts = init_mod.InitOptions(
+                    min_tri_angle_deg=min_tri,
+                    min_num_inliers=min_inl,
+                    max_error=max_error,
+                    num_samples_fourview=num_samples,
+                    num_samples_offset=num_samples,
+                    chunk=chunk)
+                return init_mod.initialize_reconstruction(
+                    k, al, av, un, uv, g, opts)
+
+            def batched(k, al, av, un, uv, g, max_errors, min_tri,
+                        min_inl):
+                f = jax.vmap(
+                    lambda a1, a2, u1, u2, gv, me: run(
+                        k, a1, a2, u1, u2, gv, me, min_tri, min_inl))
+                return f(al, av, un, uv, g, max_errors)
+
+            self._jit_init[key] = jax.jit(batched)
         return self._jit_init[key]
 
     def _pose_kernel(self, n: int, num_hypotheses: int):
