@@ -12,17 +12,18 @@ bitmap.cc:286-370`` ``Bitmap::ExifFocalLength`` feeding
 4. fallback:  f_px = default_focal_length_factor * max(W, H), and the
    camera is marked as having NO prior focal (BA may refine it).
 
-The reference vendors a ~4k-entry vendor/model sensor-width table
-(``camera_database.cc``).  Deployments here provide known calibration
-(the pipeline requires gravity + intrinsics for the aligned-line math),
-so the table below is a deliberately small curated set covering common
-sensor formats and phone families; unknown models fall through to steps
-3-4.  Extend ``SENSOR_WIDTHS_MM`` as needed.
+Sensor widths come from ``features/sensor_db.py`` (a ~1.8k-entry
+make/model table with the reference ``camera_database.cc`` lookup
+semantics); the small family table below is the last-resort fallback for
+models absent from the database but whose name carries a family or
+sensor-format hint.
 """
 
 from __future__ import annotations
 
 from typing import Optional, Tuple
+
+from privacy_preserving_sfm_tpu.features import sensor_db
 
 # Lower-cased "make model" substring -> sensor width in mm.  Ordered dict
 # semantics: first match wins; more specific entries must come first.
@@ -64,7 +65,15 @@ DEFAULT_FOCAL_LENGTH_FACTOR = 1.2  # image_reader.h default
 
 
 def query_sensor_width(make: str, model: str) -> Optional[float]:
-    """Sensor width (mm) for a camera make/model, or None if unknown."""
+    """Sensor width (mm) for a camera make/model, or None if unknown.
+
+    Exact/longest make+model lookup in the sensor database first
+    (``sensor_db.query_sensor_width``), then the coarse family-substring
+    table above as a fallback.
+    """
+    width = sensor_db.query_sensor_width(make, model)
+    if width is not None:
+        return width
     key = f"{make} {model}".lower()
     for sub, width in SENSOR_WIDTHS_MM:
         if sub in key:
