@@ -142,10 +142,12 @@ SENSOR_DB: Dict[str, Tuple[Tuple[str, float], ...]] = {
              "8", "9pureview", "3310")
     ),
     "canon": (
-        # EOS full frame.
-        _fam(35.8, "eos5d", "eos5dmarkii", "eos5dmarkiii", "eos5dmarkiv",
-             "eos5ds", "eos5dsr", "eos6d", "eos6dmarkii") +
-        _fam(36.0, "eos1dsmarkii", "eos1dsmarkiii", "eos1dx",
+        # EOS full frame (the original 5D/6D are 35.8 mm; the later
+        # 5D-family and 1-series bodies are 36.0 mm).
+        _fam(35.8, "eos5d", "eos6d", "eos6dmarkii") +
+        _fam(36.0, "eos5dmarkii", "eos5dmarkiii", "eos5dmarkiv",
+             "eos5ds", "eos5dsr",
+             "eos1dsmarkii", "eos1dsmarkiii", "eos1dx",
              "eos1dxmarkii", "eos1dxmarkiii", "eosr", "eosrp", "eosr5",
              "eosr6", "eosr6markii", "eosr8", "eosr3") +
         # EOS APS-H.

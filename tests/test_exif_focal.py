@@ -60,8 +60,9 @@ def test_missing_file_falls_back():
 
 
 def test_sensor_width_specificity():
-    # More specific entries win over family fallbacks.
-    assert query_sensor_width("Canon", "Canon EOS 5D") == 36.0
+    # More specific entries win over family fallbacks.  (The original
+    # EOS 5D sensor is 35.8 x 23.9 mm; the Mark II+ bodies are 36.0.)
+    assert query_sensor_width("Canon", "Canon EOS 5D") == 35.8
     assert query_sensor_width("Canon", "Canon EOS 80D") == 22.3
     assert query_sensor_width("Apple", "iPhone 13 Pro") == 9.5
     assert query_sensor_width("Unknown", "CamCorder 9000") is None

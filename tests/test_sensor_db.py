@@ -14,7 +14,7 @@ from privacy_preserving_sfm_tpu.features import exif_focal, sensor_db
 
 REAL_EXIF_SAMPLES = [
     # (EXIF Make, EXIF Model, expected width mm)
-    ("Canon", "Canon EOS 5D Mark III", 35.8),
+    ("Canon", "Canon EOS 5D Mark III", 36.0),
     ("Canon", "Canon EOS 400D DIGITAL", 22.3),
     ("Canon", "Canon PowerShot SX260 HS", 6.17),
     ("Canon", "Canon PowerShot G7 X Mark II", 13.2),
@@ -64,14 +64,14 @@ def test_exact_match_short_circuits_ambiguity():
     # "eos5d" / "eos5dmarkii" / "eos5dmarkiii" all substring-match; the
     # exact entry must win regardless.
     assert sensor_db.query_sensor_width("Canon", "EOS 5D") == 35.8
-    assert sensor_db.query_sensor_width("Canon", "EOS-5D-Mark-II") == 35.8
+    assert sensor_db.query_sensor_width("Canon", "EOS-5D-Mark-II") == 36.0
 
 
 def test_longest_match_beats_family_prefix():
     # Unlisted variant extending a listed name resolves to the most
     # specific listed entry (reference would reject as ambiguous).
     got = sensor_db.query_sensor_width("Canon", "EOS 5D Mark III N")
-    assert got == 35.8
+    assert got == 36.0
     # G7 (1/1.8" compact) vs G7 X (1" compact) must not cross-talk.
     assert sensor_db.query_sensor_width(
         "Canon", "PowerShot G7 X") == pytest.approx(13.2)
