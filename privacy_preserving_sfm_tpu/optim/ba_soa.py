@@ -122,9 +122,24 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
     """Explicit-Schur LM in SoA component layout.
 
     Requires ``schur_pcg.explicit_fits(C)``; the caller (``_run_ba`` /
-    bench) falls back to ``bundle_adjust_dense`` beyond that.  Only the
-    Gram materialization differs by backend: the fused Pallas kernel on
-    TPU, the XLA U-matrix path elsewhere.
+    bench) falls back to ``bundle_adjust_dense`` beyond that.
+
+    Structural differences from ``bundle_adjust_dense`` (same LM
+    semantics, measured on v5e):
+
+    * **One residual pass per iteration.**  The trial point's robust cost
+      and its normal equations come out of the same fused build; on
+      accept the normal is kept for the next solve, on reject it is
+      discarded.  ``ba_dense`` pays a separate cost pass every iteration
+      plus a rebuild inside a ``lax.cond`` (whose passthrough branch
+      copies the big carried tensors).
+    * **Select-based carry** of the normal as a handful of stacked
+      (K, P)-minor component arrays — no (…, 6, 3) trailing dims that pad
+      to (8, 128) tiles, no cond-boundary copies.
+    * The Schur Gram runs in the SoA-native Pallas kernel
+      (``schur_pcg.gram_soa``: V panels live in VMEM with points on the
+      lane axis, 21 upper blocks only) — zero repack; the XLA one-hot
+      fallback (``gram_soa_xla``) covers CPU and oversize shapes.
     """
     C = problem.qvecs.shape[0]
     P, K = problem.obs_cam.shape
@@ -156,11 +171,10 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         return q_o, t_o, X_o, par_o
 
     def build_normal(q, t, X):
-        """SoA normal-equation components.
+        """Fused robust cost + SoA normal equations at (q, t, X).
 
-        Returns (hpp (6 x (P,)), gp (3 x (P,)), hcp (18 x (K, P)),
-        cam_sums (27, C) = 21 Hcc upper-tri + 6 gc components,
-        r/w kept for nothing — weights are folded in here).
+        Returns (cost, hpp (6, P), gp (3, P), hcp (18, K, P) i-major,
+        cam_sums (27, C) = 21 Hcc upper-tri + 6 gc components).
         """
         q_o, t_o, X_o, par_o = gather_obs(q, t, X)
         r1, r2, jc, jp = _soa_residuals_and_jacobians(
@@ -170,18 +184,21 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
                    for row in range(2) for i in range(6))
         jp = tuple(c * pmask[None, :] for c in jp)
         sq = r1 * r1 + r2 * r2
+        cost = 0.5 * jnp.sum(
+            ba_mod._robust_cost(sq, options.loss, options.loss_scale)
+            * w_kp)
         w = ba_mod._robust_weight(sq, options.loss, options.loss_scale) \
             * w_kp
 
         # Point side: 6 Hpp + 3 gp components, reduced over K.
-        hpp = tuple(
+        hpp = jnp.stack([
             jnp.sum((jp[i] * jp[j] + jp[3 + i] * jp[3 + j]) * w, axis=0)
-            for i in range(3) for j in range(i, 3))  # order 11,12,13,22,23,33
-        gp = tuple(jnp.sum((jp[i] * r1 + jp[3 + i] * r2) * w, axis=0)
-                   for i in range(3))
-        # Cross blocks: 18 (K, P) components, i (cam dof) major.
-        hcp = tuple((jc[i] * jp[a] + jc[6 + i] * jp[3 + a]) * w
-                    for i in range(6) for a in range(3))
+            for i in range(3) for j in range(i, 3)])  # 11,12,13,22,23,33
+        gp = jnp.stack([jnp.sum((jp[i] * r1 + jp[3 + i] * r2) * w, axis=0)
+                        for i in range(3)])
+        # Cross blocks: (18, K, P) components, i (cam dof) major.
+        hcp = jnp.stack([(jc[i] * jp[a] + jc[6 + i] * jp[3 + a]) * w
+                         for i in range(6) for a in range(3)])
         # Camera side: 21 Hcc upper-tri + 6 gc -> one MXU contraction.
         cam_rows = [(jc[i] * jc[j] + jc[6 + i] * jc[6 + j]) * w
                     for i in range(6) for j in range(i, 6)]
@@ -190,7 +207,7 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         cam_sums = jax.lax.dot_general(
             stackc, onehot_n, (((1,), (0,)), ((), ())),
             preferred_element_type=dtype)  # (27, C)
-        return hpp, gp, hcp, cam_sums
+        return cost, hpp, gp, hcp, cam_sums
 
     # Static row permutation expanding the 21 upper-tri components to the
     # full symmetric 6x6 (one gather, no scatters).
@@ -204,18 +221,6 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         Hcc = jnp.transpose(cam_sums[_SYM36].reshape(6, 6, C), (2, 0, 1))
         gc = cam_sums[21:27].T  # (C, 6)
         return Hcc, gc
-
-    def _cost_soa(q, t, X):
-        q_o, t_o, X_o, par_o = gather_obs(q, t, X)
-
-        def one(qv, tv, Xp, par, l0, l1, l2):
-            return _res_scalar(jnp.zeros(6, dtype), jnp.zeros(3, dtype),
-                               qv, tv, Xp, par, l0, l1, l2, camera_model)
-
-        r1, r2 = jax.vmap(jax.vmap(one))(q_o, t_o, X_o, par_o, *l_comps)
-        sq = r1 * r1 + r2 * r2
-        return 0.5 * jnp.sum(
-            ba_mod._robust_cost(sq, options.loss, options.loss_scale) * w_kp)
 
     def solve_step(hpp, gp, hcp, cam_sums, lam):
         Hcc, gc = cam_blocks(cam_sums)
@@ -238,34 +243,24 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
                 return l22 * hcp[i * 3 + 1] + l32 * hcp[i * 3 + 2]
             return l33 * hcp[i * 3 + 2]
 
-        # gL = L^T gp (P,) x 3.
-        gL0 = l11 * gp[0] + l21 * gp[1] + l31 * gp[2]
-        gL1 = l22 * gp[1] + l32 * gp[2]
-        gL2 = l33 * gp[2]
-        gL = jnp.stack([gL0, gL1, gL2], axis=-1)  # (P, 3)
+        # gL = L^T gp, (3, P).
+        gL = jnp.stack([l11 * gp[0] + l21 * gp[1] + l31 * gp[2],
+                        l22 * gp[1] + l32 * gp[2],
+                        l33 * gp[2]])
 
-        # Repack to the gram kernel's (P, K*18) layout: k*18 + a*6 + i.
+        # (18, K, P) a-major stack -> (18K, P) rows (a*6+i)*K + k: the
+        # native input of gram_soa — no (P, K, 3, 6) repack.
         lh_stack = jnp.stack([lh(a, i) for a in range(3)
-                              for i in range(6)])  # (18, K, P) a-major
-        LHp = jnp.transpose(lh_stack.reshape(3, 6, K, P),
-                            (3, 2, 0, 1))  # (P, K, 3, 6)
+                              for i in range(6)]).reshape(18 * K, P)
         if use_gram_kernel:
-            S_corr, rhs_corr = schur_pcg.gram_fused(
-                LHp, gL, problem.obs_cam, C,
+            S_corr, rhs_corr = schur_pcg.gram_soa(
+                lh_stack, gL, oc_kp, C,
                 precision=options.schur_precision)
-            rhs = gc.reshape(n) - rhs_corr
         else:
-            # XLA fallback: V = (P*3, 6C) via one-hot, single Gram matmul.
-            V = schur_pcg.build_u_matrix(
-                jnp.transpose(LHp, (0, 1, 3, 2)), problem.obs_cam, C)
-            Vx = jnp.concatenate([V.reshape(-1, n), gL.reshape(-1, 1)], 1)
-            if options.schur_precision == "bf16":
-                Vx = Vx.astype(jnp.bfloat16)
-            G = jax.lax.dot_general(
-                Vx, Vx, (((0,), (0,)), ((), ())),
-                preferred_element_type=dtype)
-            S_corr = G[:n, :n]
-            rhs = gc.reshape(n) - G[:n, n]
+            S_corr, rhs_corr = schur_pcg.gram_soa_xla(
+                lh_stack, gL, oc_kp, C,
+                precision=options.schur_precision)
+        rhs = gc.reshape(n) - rhs_corr
 
         SJ = dHcc - schur_pcg.diag_blocks(S_corr, C)
         SJ_inv = ba_mod._inv6(SJ + 1e-12 * eye6)
@@ -291,17 +286,16 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
         return dc, dp
 
-    cost0 = _cost_soa(problem.qvecs, problem.tvecs, problem.points3d)
+    cost0, *normal0 = build_normal(problem.qvecs, problem.tvecs,
+                                   problem.points3d)
+    normal0 = tuple(normal0)
 
     def lm_body(state):
-        q, t, X, lam, c, it, stall, rebuild, rej, normal = state
-        normal = jax.lax.cond(
-            rebuild, lambda args: build_normal(*args), lambda args: normal,
-            (q, t, X))
+        q, t, X, lam, c, it, stall, rej, normal = state
         hpp, gp, hcp, cam_sums = normal
         if options.gradient_tolerance > 0:
             gc_m = cam_sums[21:27].T * problem.cam_dof_mask
-            gp_m = jnp.stack(gp, -1) * pmask[:, None]
+            gp_m = gp.T * pmask[:, None]
             g_max = jnp.maximum(jnp.max(jnp.abs(gc_m)),
                                 jnp.max(jnp.abs(gp_m)))
             grad_done = g_max <= options.gradient_tolerance
@@ -311,13 +305,22 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         dc_m = dc * problem.cam_dof_mask
         dp_m = dp * pmask[:, None]
         q_new, t_new, X_new = ba_mod._apply_step(q, t, X, -dc_m, -dp_m)
-        c_new = _cost_soa(q_new, t_new, X_new)
+        # Fused trial evaluation: cost AND normal equations at the trial
+        # point from one residual/Jacobian pass.  On accept the normal is
+        # exactly the next iteration's linearization (ba_dense's
+        # rebuild-on-accept cond); on reject it is discarded by the
+        # selects below (Ceres keeps the old Jacobian across rejected
+        # trust-region steps).
+        c_new, *normal_new = build_normal(q_new, t_new, X_new)
         accept = c_new < c
         rel = (c - c_new) / jnp.maximum(c, 1e-30)
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
         c = jnp.where(accept, c_new, c)
+        normal = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old),
+            tuple(normal_new), normal)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, options.min_lambda),
                         jnp.minimum(lam * 4.0, options.max_lambda))
         conv = accept & (rel < options.function_tolerance)
@@ -326,21 +329,17 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         rej = jnp.where(accept, 0, rej + 1)
         stall = jnp.where(rej >= options.max_consecutive_rejections, 2,
                           stall)
-        return q, t, X, lam, c, it + 1, stall, accept, rej, normal
+        return q, t, X, lam, c, it + 1, stall, rej, normal
 
     def lm_cond(state):
         lam, c, it, stall = state[3], state[4], state[5], state[6]
         return (it < options.max_iterations) & (stall < 2) & (
             lam < options.max_lambda * 0.99)
 
-    normal0 = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(build_normal, problem.qvecs, problem.tvecs,
-                       problem.points3d))
     init = (problem.qvecs, problem.tvecs, problem.points3d,
             jnp.asarray(options.initial_lambda, dtype), cost0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(True), jnp.asarray(0, jnp.int32), normal0)
+            jnp.asarray(0, jnp.int32), normal0)
     q, t, X, lam, c, it = jax.lax.while_loop(lm_cond, lm_body, init)[:6]
     summary = ba_mod.BASummary(initial_cost=cost0, final_cost=c,
                                num_iterations=it, lam=lam)

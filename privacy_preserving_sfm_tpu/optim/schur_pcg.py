@@ -269,6 +269,151 @@ def gram_fused(LH: jax.Array, gL: jax.Array, obs_cam: jax.Array,
     return S_corr, rhs_corr
 
 
+def _gram_soa_kernel(lh_ref, gl_ref, cam_ref, g_ref, r_ref, *,
+                     K: int, C_pad: int, bf16: bool):
+    """One point-tile step of the SoA fused Schur-Gram accumulation.
+
+    Same math as ``_gram_kernel`` but with the component layout of
+    ``optim/ba_soa.py``: points ride the LANE axis (no (P, K*18) repack
+    in HBM), V panels are (C_pad, TP), the Gram contracts the lane axis,
+    and only the 21 upper (i1 <= i2) C_pad x C_pad blocks are written —
+    the caller mirrors them (transposes inside Mosaic kernels are slow).
+    """
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        g_ref[:] = jnp.zeros_like(g_ref)
+        r_ref[:] = jnp.zeros_like(r_ref)
+
+    lh = lh_ref[:]  # (R_pad, TP), rows (a*6+i)*K + k
+    gl = gl_ref[:]  # (8, TP), rows 0..2 used
+    cam = cam_ref[:]  # (K_pad, TP) int32
+    TP = lh.shape[1]
+    dtype = lh.dtype
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C_pad, TP), 0)
+
+    V = [[jnp.zeros((C_pad, TP), dtype) for _ in range(6)]
+         for _ in range(3)]
+    for k in range(K):
+        oh = (cam[k:k + 1, :] == iota_c).astype(dtype)  # (C_pad, TP)
+        for a in range(3):
+            for i in range(6):
+                r0 = (a * 6 + i) * K + k
+                V[a][i] += oh * lh[r0:r0 + 1, :]
+
+    Vg = V
+    if bf16:
+        Vg = [[v.astype(jnp.bfloat16) for v in row] for row in V]
+
+    for i1 in range(6):
+        for i2 in range(i1, 6):
+            acc = jnp.zeros((C_pad, C_pad), dtype)
+            for a in range(3):
+                acc += jax.lax.dot_general(
+                    Vg[a][i1], Vg[a][i2], (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype)
+            g_ref[i1 * C_pad:(i1 + 1) * C_pad,
+                  i2 * C_pad:(i2 + 1) * C_pad] += acc
+
+    for i in range(6):
+        racc = jnp.zeros((1, C_pad), dtype)
+        for a in range(3):
+            racc += jax.lax.dot_general(
+                gl[a:a + 1, :], V[a][i], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype)
+        r_ref[0:1, i * C_pad:(i + 1) * C_pad] += racc
+
+
+def _soa_blocks_to_flat(G4: jax.Array, num_cams: int) -> jax.Array:
+    """(6, C, 6, C) i-major blocks -> (6C, 6C) in the 6c+i layout."""
+    n = 6 * num_cams
+    return jnp.transpose(G4, (1, 0, 3, 2)).reshape(n, n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_cams", "precision", "interpret"))
+def gram_soa(lh_stack: jax.Array, gL: jax.Array, cam_kp: jax.Array,
+             num_cams: int, precision: str = "f32",
+             interpret: bool = False):
+    """Fused S_corr/rhs_corr from SoA component arrays; V never in HBM.
+
+    lh_stack: (18*K, P) with row order (a*6+i)*K + k, the natural stack
+    of the 18 per-(a, i) (K, P) component arrays of ``ba_soa``;
+    gL: (3, P) = L^T gp components;  cam_kp: (K, P) int32.
+    Padding observations must carry zero lh rows (robust weight 0).
+
+    Returns (S_corr (6C, 6C), rhs_corr (6C,)) in the 6c+i layout.
+    """
+    RK, P = lh_stack.shape
+    K = RK // 18
+    C_pad = _round_up(max(num_cams, _LANE), _LANE)
+    dtype = lh_stack.dtype
+    TP = 512 if C_pad <= _LANE else 128
+    P_pad = _round_up(max(P, TP), TP)
+    R_pad = _round_up(RK, 8)
+    K_pad = _round_up(K, 8)
+    lh = jnp.pad(lh_stack, ((0, R_pad - RK), (0, P_pad - P)))
+    gl = jnp.pad(gL, ((0, 8 - gL.shape[0]), (0, P_pad - P)))
+    # Padding points get camera id 0 with zero lh rows — they contribute
+    # exact zeros to V and the Gram.
+    cam = jnp.pad(cam_kp, ((0, K_pad - K), (0, P_pad - P)))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (P_pad // TP,)
+    G, R = pl.pallas_call(
+        functools.partial(_gram_soa_kernel, K=K, C_pad=C_pad,
+                          bf16=(precision == "bf16")),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((R_pad, TP), lambda t: (0, t)),
+            pl.BlockSpec((8, TP), lambda t: (0, t)),
+            pl.BlockSpec((K_pad, TP), lambda t: (0, t)),
+        ],
+        out_specs=[
+            pl.BlockSpec((6 * C_pad, 6 * C_pad), lambda t: (0, 0)),
+            pl.BlockSpec((8, 6 * C_pad), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((6 * C_pad, 6 * C_pad), dtype),
+            jax.ShapeDtypeStruct((8, 6 * C_pad), dtype),
+        ],
+        interpret=interpret,
+    )(lh, gl, cam)
+
+    C = num_cams
+    G4 = G.reshape(6, C_pad, 6, C_pad)[:, :C, :, :C]
+    A = _soa_blocks_to_flat(G4, C)  # upper (i1 <= i2) blocks, zeros below
+    eye_i = jnp.eye(6, dtype=dtype)
+    Ad = _soa_blocks_to_flat(G4 * eye_i[:, None, :, None], C)
+    S_corr = A + A.T - Ad  # diagonal-in-i blocks are symmetric Grams
+    rhs_corr = R[0].reshape(6, C_pad)[:, :C].T.reshape(6 * C)
+    return S_corr, rhs_corr
+
+
+def gram_soa_xla(lh_stack: jax.Array, gL: jax.Array, cam_kp: jax.Array,
+                 num_cams: int, precision: str = "f32"):
+    """XLA fallback for ``gram_soa`` (CPU tests / oversize shapes)."""
+    RK, P = lh_stack.shape
+    K = RK // 18
+    n = 6 * num_cams
+    dtype = lh_stack.dtype
+    lh4 = lh_stack.reshape(3, 6, K, P)
+    onehot = jax.nn.one_hot(cam_kp.T, num_cams, dtype=dtype)  # (P, K, C)
+    # V[p, a, c*6+i] = sum_k onehot[p, k, c] * lh4[a, i, k, p]
+    V = jnp.einsum("pkc,aikp->paci", onehot, lh4).reshape(3 * P, n)
+    Vx = jnp.concatenate([V, gL.T.reshape(-1, 1)], axis=1)
+    if precision == "bf16":
+        Vx = Vx.astype(jnp.bfloat16)
+    G = jax.lax.dot_general(
+        Vx, Vx, (((0,), (0,)), ((), ())), preferred_element_type=dtype)
+    return G[:n, :n], G[:n, n]
+
+
 def build_u_matrix(Hcp_o: jax.Array, obs_cam: jax.Array,
                    num_cams: int) -> jax.Array:
     """U (P, 3, 6C): camera-binned observation blocks, scatter-free.

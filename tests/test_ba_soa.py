@@ -110,6 +110,26 @@ def test_soa_reduces_cost_to_near_zero():
     assert float(s.final_cost) < 1e-6 * float(s.initial_cost)
 
 
+def test_gram_soa_kernel_matches_xla():
+    """The Pallas SoA Gram kernel (interpret mode) == the XLA one-hot path."""
+    from privacy_preserving_sfm_tpu.optim import schur_pcg
+
+    rng = np.random.default_rng(7)
+    K, P, C = 4, 37, 9
+    lh_stack = jnp.asarray(rng.standard_normal((18 * K, P)), jnp.float32)
+    gL = jnp.asarray(rng.standard_normal((3, P)), jnp.float32)
+    cam = jnp.asarray(rng.integers(0, C, (K, P)), jnp.int32)
+    S_x, r_x = schur_pcg.gram_soa_xla(lh_stack, gL, cam, C)
+    S_k, r_k = schur_pcg.gram_soa(lh_stack, gL, cam, C, interpret=True)
+    np.testing.assert_allclose(np.asarray(S_k), np.asarray(S_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_x),
+                               rtol=1e-4, atol=1e-4)
+    # S_corr must come back symmetric (upper blocks mirrored by the caller).
+    np.testing.assert_allclose(np.asarray(S_k), np.asarray(S_k).T,
+                               rtol=0, atol=1e-5)
+
+
 def test_soa_respects_gauge_mask():
     rng = np.random.default_rng(5)
     problem = _make_problem(rng)
