@@ -190,30 +190,34 @@ def main():
 
     enable_persistent_cache()
 
-    from privacy_preserving_sfm_tpu.optim import ba, ba_dense
+    from privacy_preserving_sfm_tpu.optim import ba, ba_dense, ba_soa
 
     rng = np.random.default_rng(0)
     problem = build_problem(rng, jnp.float32)
 
     # Dense per-point observation blocks (round 1); round 2 adds the
-    # two-layout camera reduction — measure both, report the best.
+    # two-layout camera reduction; round 4 the SoA component-layout
+    # solver (one fused residual pass per iteration + the SoA-native
+    # Pallas Gram kernel) — measure all, report the best.
     dense = ba_dense.from_flat_problem(problem, k_bucket=8)
     num_obs = int(problem.obs_cam.shape[0])
 
-    # (label, cam_reduce, schur_mode) — "explicit" materializes the 6Cx6C
-    # Schur system and runs the whole PCG in one fused Pallas kernel.
+    # (label, solver, cam_reduce, schur_mode) — "explicit" materializes
+    # the 6Cx6C Schur system; "soa" is the component-array rewrite.
     configs = [
-        ("explicit", "onehot", "explicit"),
-        ("onehot", "onehot", "implicit"),
-        ("twolayout", "twolayout", "implicit"),
+        ("soa", "soa", "onehot", "explicit"),
+        ("explicit", "dense", "onehot", "explicit"),
+        ("onehot", "dense", "onehot", "implicit"),
+        ("twolayout", "dense", "twolayout", "implicit"),
     ]
     results = {}
-    for label, cam_reduce, schur_mode in configs:
+    for label, solver, cam_reduce, schur_mode in configs:
         opts = ba.BAOptions(max_iterations=LM_ITERS, cg_iterations=CG_ITERS,
                             function_tolerance=0.0,  # fixed work per solve
                             cam_reduce=cam_reduce, schur_mode=schur_mode)
-        step = jax.jit(lambda p, o=opts:
-                       ba_dense.bundle_adjust_dense(p, "SIMPLE_PINHOLE", o))
+        fn = (ba_soa.bundle_adjust_soa if solver == "soa"
+              else ba_dense.bundle_adjust_dense)
+        step = jax.jit(lambda p, o=opts, f=fn: f(p, "SIMPLE_PINHOLE", o))
         out = step(dense)  # warmup / compile
         jax.block_until_ready(out)
         iters_run = int(out[3].num_iterations)

@@ -50,22 +50,31 @@ def _res_scalar(dc, dX, q, t, Xp, par, l0, l1, l2, camera_model):
     return r[0], r[1]
 
 
-def _soa_residuals_and_jacobians(q_o, t_o, X_o, par_o, l_comps,
+def _soa_residuals_and_jacobians(cam_comps, X_comps, l_comps,
                                  camera_model):
-    """r + J component arrays for (K, P)-shaped observation tuples.
+    """r + J component arrays from (K, P) scalar component inputs.
 
-    q_o (K, P, 4), t_o (K, P, 3), X_o (K, P, 3), par_o (K, P, Pr) are
-    consumed by vmapped *scalar* functions, so the only arrays XLA
-    materializes are the (K, P) outputs — the per-observation vectors
-    live in registers inside the fused elementwise program.
+    ``cam_comps`` is a tuple of 4 + 3 + Pr per-observation (K, P) arrays
+    (quaternion, tvec, intrinsics components) — the minor axis is always
+    P, so every HBM pass is sequential and full-lane.  (A (K, P, 4)
+    gathered tensor pads its 4-wide minor dim to 128 lanes: ~3 %
+    utilization, and XLA rematerializes the random gather into every
+    consumer fusion — measured 6 x 1.18 ms per LM iteration on v5e.)
+    ``X_comps``: 3 x (K, P) broadcast point coordinates.
 
     Returns (r1, r2, jc, jp): jc 12 components (rows r1 then r2, 6 dofs
     each), jp 6 components (rows r1 then r2, 3 axes each).
     """
-    K, P = l_comps[0].shape
-    dtype = q_o.dtype
+    dtype = cam_comps[0].dtype
+    n_cc = len(cam_comps)
 
-    def one(q, t, Xp, par, l0, l1, l2):
+    def one(*args):
+        cc = args[:n_cc]
+        X0, X1, X2, l0, l1, l2 = args[n_cc:]
+        q = jnp.stack(cc[:4])
+        t = jnp.stack(cc[4:7])
+        par = jnp.stack(cc[7:])
+        Xp = jnp.stack([X0, X1, X2])
         zero6 = jnp.zeros(6, dtype)
         zero3 = jnp.zeros(3, dtype)
         r1, r2 = _res_scalar(zero6, zero3, q, t, Xp, par, l0, l1, l2,
@@ -81,7 +90,7 @@ def _soa_residuals_and_jacobians(q_o, t_o, X_o, par_o, l_comps,
         out += tuple(Jp[1][i] for i in range(3))
         return out
 
-    outs = jax.vmap(jax.vmap(one))(q_o, t_o, X_o, par_o, *l_comps)
+    outs = jax.vmap(jax.vmap(one))(*cam_comps, *X_comps, *l_comps)
     return outs[0], outs[1], outs[2:14], outs[14:20]
 
 
@@ -163,12 +172,29 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
     use_pallas_pcg = (jax.default_backend() != "cpu"
                       and _os.environ.get("PPSFM_PCG", "xla") == "fused")
 
+    n_par = problem.cam_params.shape[1]
+
     def gather_obs(q, t, X):
-        q_o = q[oc_kp]  # (K, P, 4)
-        t_o = t[oc_kp]
-        X_o = jnp.broadcast_to(X[None], (K,) + X.shape)
-        par_o = problem.cam_params[oc_kp]
-        return q_o, t_o, X_o, par_o
+        """Per-observation camera quantities as (K, P) component arrays.
+
+        One MXU contraction against the static one-hot does ALL the
+        camera gathers at once (random row-gathers are scalar-unit-bound
+        on TPU and XLA rematerializes them into every consumer fusion);
+        the optimization barrier pins the result so downstream fusions
+        re-READ it instead of re-gathering.
+        """
+        qt = jnp.concatenate([q, t, problem.cam_params], axis=1).T  # (R, C)
+        # HIGHEST precision: the TPU's default bf16 single-pass matmul
+        # would round the gathered quaternions; with the hi+lo split the
+        # one-hot selection is f32-exact.
+        g = jax.lax.dot_general(qt, onehot_n, (((1,), (1,)), ((), ())),
+                                preferred_element_type=dtype,
+                                precision=jax.lax.Precision.HIGHEST)
+        g = jax.lax.optimization_barrier(g)
+        cam_comps = tuple(g[i].reshape(K, P) for i in range(7 + n_par))
+        X_comps = tuple(jnp.broadcast_to(X[:, i][None], (K, P))
+                        for i in range(3))
+        return cam_comps, X_comps
 
     def build_normal(q, t, X):
         """Fused robust cost + SoA normal equations at (q, t, X).
@@ -176,9 +202,9 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         Returns (cost, hpp (6, P), gp (3, P), hcp (18, K, P) i-major,
         cam_sums (27, C) = 21 Hcc upper-tri + 6 gc components).
         """
-        q_o, t_o, X_o, par_o = gather_obs(q, t, X)
+        cam_comps, X_comps = gather_obs(q, t, X)
         r1, r2, jc, jp = _soa_residuals_and_jacobians(
-            q_o, t_o, X_o, par_o, l_comps, camera_model)
+            cam_comps, X_comps, l_comps, camera_model)
         # Freeze masked dofs / constant points.
         jc = tuple(jc[row * 6 + i] * dof_kp[i]
                    for row in range(2) for i in range(6))
@@ -276,7 +302,12 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
 
         # Back-substitution: dp = Hpp_inv (gp - E^T dc), all components.
-        dcg = tuple(dc[:, i][oc_kp] for i in range(6))  # 6 x (K, P)
+        # Same MXU one-hot gather as gather_obs (see there).
+        dcg_flat = jax.lax.dot_general(
+            dc.T, onehot_n, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)  # (6, K*P)
+        dcg = tuple(dcg_flat[i].reshape(K, P) for i in range(6))
         et = tuple(
             jnp.sum(sum(hcp[i * 3 + a] * dcg[i] for i in range(6)), axis=0)
             for a in range(3))  # 3 x (P,)

@@ -891,19 +891,30 @@ class IncrementalMapper:
                 or ba_options.refine_extra_params):
             return self._run_ba_intrinsics(problem, cam_list, point_index,
                                            dof_mask, ba_options)
-        # On accelerators, convert to dense per-point blocks: scatter-free
-        # point reductions + the explicit-Schur fused-PCG path
-        # (optim/schur_pcg.py) when the camera system fits in VMEM.  On
-        # CPU the flat segment_sum solver measures faster.
-        # PPSFM_BA_PATH=flat|dense and PPSFM_SCHUR_MODE=auto|implicit|
-        # explicit override the defaults (debug / A-B testing).
+        # On accelerators, convert to dense per-point blocks and pick the
+        # fastest solver for the problem size (measured crossover on
+        # v5e, reports/ba_crossover_r4.json):
+        #   soa       — SoA component-layout explicit Schur (optim/
+        #               ba_soa.py), ~2.9x the dense-block explicit path
+        #               at bench scale; needs the 6Cx6C system in VMEM.
+        #   dense     — per-point blocks, implicit Schur CG beyond that.
+        # On CPU the flat segment_sum solver measures faster.
+        # PPSFM_BA_PATH=flat|dense|soa and PPSFM_SCHUR_MODE=auto|
+        # implicit|explicit override the defaults (debug / A-B testing).
         import os as _os
+        from privacy_preserving_sfm_tpu.optim import schur_pcg as _spcg
         ba_path = _os.environ.get("PPSFM_BA_PATH", "")
         schur_override = _os.environ.get("PPSFM_SCHUR_MODE", "")
         if schur_override:
             ba_options = ba_options._replace(schur_mode=schur_override)
-        use_dense = (ba_path == "dense" or
-                     (ba_path != "flat" and jax.default_backend() != "cpu"))
+        on_accel = jax.default_backend() != "cpu"
+        use_soa = (ba_path == "soa" or
+                   (ba_path == "" and on_accel
+                    and _spcg.explicit_fits(C)
+                    and ba_options.schur_mode in ("auto", "explicit")))
+        use_dense = (not use_soa and
+                     (ba_path == "dense" or
+                      (ba_path != "flat" and on_accel)))
         dump_path = _os.environ.get("PPSFM_BA_DUMP")
         if dump_path:
             # Debug aid: persist the assembled problem before the device
@@ -924,7 +935,18 @@ class IncrementalMapper:
                      use_dense=use_dense, ba_path=ba_path,
                      **opt_fields)
         _t_assembled = _time.perf_counter()
-        if use_dense:
+        if use_soa:
+            from privacy_preserving_sfm_tpu.optim import ba_dense, ba_soa
+            dense = ba_dense.from_flat_problem(problem)
+            ba_key = ("soa", dense.obs_cam.shape, P,
+                      camera0.model, ba_options)
+            if ba_key not in self._jit_ba:
+                model = camera0.model
+                self._jit_ba[ba_key] = jax.jit(
+                    lambda prob: ba_soa.bundle_adjust_soa(
+                        prob, model, ba_options))
+            q, t, X, summary = self._jit_ba[ba_key](dense)
+        elif use_dense:
             from privacy_preserving_sfm_tpu.optim import ba_dense
             dense = ba_dense.from_flat_problem(problem)
             ba_key = (dense.obs_cam.shape, dense.cam_gather.shape, P,

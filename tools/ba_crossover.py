@@ -1,0 +1,175 @@
+"""BA solver-regime crossover: measure implicit/explicit/SoA vs camera count.
+
+The reference swaps Ceres linear solvers by problem size — DENSE_SCHUR
+below 50 images, SPARSE_SCHUR below 1000, ITERATIVE_SCHUR + SCHUR_JACOBI
+beyond (``/root/reference/src/optim/bundle_adjustment.cc:276-286``).  The
+TPU analogue is the choice between
+
+  soa       explicit Schur, SoA component layout + fused Pallas Gram
+            (optim/ba_soa.py) — needs padded_dim(C) <= 1024
+  explicit  explicit Schur on dense per-point blocks (optim/ba_dense.py,
+            schur_mode="explicit") — same C limit
+  implicit  matrix-free Schur CG on dense blocks (schur_mode="implicit")
+            — any C
+  flat      segment-sum SoA solver (optim/ba.py) — CPU reference
+
+This tool times one full LM solve (fixed iteration count) per mode per
+camera count on the current backend and writes the table that
+``_run_ba``'s automatic solver choice is derived from.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ba_crossover.py
+       [--cpu] [--json reports/ba_crossover_r4.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def build_problem(rng, num_cams, num_points, obs_per_point, dtype):
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.ops import lie
+    from privacy_preserving_sfm_tpu.optim import ba
+
+    pts = rng.uniform(-5, 5, (num_points, 3))
+    pts[:, 2] += 12.0
+    qs = np.zeros((num_cams, 4))
+    ts = np.zeros((num_cams, 3))
+    yaw = rng.uniform(-0.5, 0.5, num_cams)
+    qs[:, 0] = np.cos(yaw / 2)
+    qs[:, 2] = np.sin(yaw / 2)
+    ts[:, 0] = rng.uniform(-4, 4, num_cams)
+    ts[:, 1] = rng.uniform(-0.5, 0.5, num_cams)
+    ts[:, 2] = rng.uniform(-1, 1, num_cams)
+
+    obs_cam = rng.integers(0, num_cams, (num_points, obs_per_point))
+    obs_point = np.repeat(np.arange(num_points), obs_per_point)
+    obs_cam = obs_cam.reshape(-1)
+
+    import jax
+
+    Rm = np.asarray(lie.quat_to_rotmat(jnp.asarray(qs)))
+    Xc = np.einsum("oij,oj->oi", Rm[obs_cam], pts[obs_point]) + ts[obs_cam]
+    z = np.maximum(Xc[:, 2], 0.5)
+    uv = Xc[:, :2] / z[:, None]
+    hom = np.concatenate([uv, np.ones((len(uv), 1))], 1)
+    lines = np.cross(rng.standard_normal((len(uv), 3)), hom)
+    lines /= np.linalg.norm(lines[:, :2], axis=-1, keepdims=True)
+
+    mask = np.ones((num_cams, 6))
+    mask[0] = 0.0
+    mask[1, 3] = 0.0
+
+    return ba.BAProblem(
+        qvecs=jnp.asarray(qs + rng.normal(0, 1e-3, qs.shape), dtype),
+        tvecs=jnp.asarray(ts + rng.normal(0, 1e-2, ts.shape), dtype),
+        cam_params=jnp.broadcast_to(
+            jnp.asarray([500.0, 320.0, 240.0], dtype), (num_cams, 3)),
+        points3d=jnp.asarray(pts + rng.normal(0, 1e-2, pts.shape), dtype),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_line=jnp.asarray(lines, dtype),
+        obs_weight=jnp.ones(len(obs_cam), dtype),
+        cam_dof_mask=jnp.asarray(mask, dtype),
+        point_mask=jnp.ones(num_points, dtype))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default="")
+    ap.add_argument("--lm_iters", type=int, default=10)
+    ap.add_argument("--cg_iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from privacy_preserving_sfm_tpu.utils.jax_setup import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    from privacy_preserving_sfm_tpu.optim import (
+        ba as ba_mod, ba_dense, ba_soa, schur_pcg,
+    )
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}", flush=True)
+
+    # Camera counts spanning the reference's three Ceres regimes; points
+    # scale with cameras at a mapper-like 200 pts/cam, 6 obs/pt.
+    cases = [25, 50, 100, 150, 300, 600, 1000]
+    rows = []
+    for C in cases:
+        P = 200 * C
+        rng = np.random.default_rng(0)
+        problem = build_problem(rng, C, P, 6, jnp.float32)
+        dense = ba_dense.from_flat_problem(problem, k_bucket=8)
+        num_obs = 6 * P
+        opts = ba_mod.BAOptions(
+            max_iterations=args.lm_iters, cg_iterations=args.cg_iters,
+            function_tolerance=0.0)
+
+        modes = {}
+        if schur_pcg.explicit_fits(C):
+            modes["soa"] = lambda o=opts: jax.jit(
+                lambda p: ba_soa.bundle_adjust_soa(p, "SIMPLE_PINHOLE", o))
+            modes["explicit"] = lambda o=opts._replace(
+                schur_mode="explicit"): jax.jit(
+                lambda p: ba_dense.bundle_adjust_dense(p, "SIMPLE_PINHOLE",
+                                                       o))
+        modes["implicit"] = lambda o=opts._replace(
+            schur_mode="implicit"): jax.jit(
+            lambda p: ba_dense.bundle_adjust_dense(p, "SIMPLE_PINHOLE", o))
+
+        row = {"C": C, "P": P, "obs": num_obs}
+        for label, mk in modes.items():
+            step = mk()
+            try:
+                t0 = time.perf_counter()
+                out = step(dense)
+                jax.block_until_ready(out)
+                compile_s = time.perf_counter() - t0
+                iters = int(out[3].num_iterations)
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = step(dense)
+                    jax.block_until_ready(out)
+                    ts.append(time.perf_counter() - t0)
+                t = min(ts)
+                row[label] = {
+                    "ms_per_iter": t / max(iters, 1) * 1e3,
+                    "obs_iters_per_s": num_obs * iters / t,
+                    "compile_s": compile_s,
+                    "final_cost": float(out[3].final_cost),
+                }
+                print(f"C={C:5d} {label:9s} "
+                      f"{row[label]['ms_per_iter']:8.2f} ms/iter  "
+                      f"{row[label]['obs_iters_per_s']/1e6:8.2f}M obs*it/s",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                row[label] = {"error": str(e)[:200]}
+                print(f"C={C:5d} {label:9s} ERROR {e}", flush=True)
+        rows.append(row)
+
+    out = {"backend": backend, "lm_iters": args.lm_iters,
+           "cg_iters": args.cg_iters, "rows": rows}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
