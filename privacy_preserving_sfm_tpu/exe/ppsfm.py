@@ -131,11 +131,14 @@ def _flush_extraction_batch(db, batch, sift_opts, aligned_ratio,
     A short tail is padded by repeating the last record (one compiled
     shape per group) and the padded outputs discarded.
     """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
     from privacy_preserving_sfm_tpu.features import extraction
 
+    t0 = _time.perf_counter()
     n = len(batch)
     padded = batch + [batch[-1]] * (batch_size - n)
     keys = jnp.stack([r["key"] for r in padded])
@@ -153,6 +156,7 @@ def _flush_extraction_batch(db, batch, sift_opts, aligned_ratio,
     # costs tens of ms per host<->device round trip).
     valid, desc, lines, aligned = jax.device_get(
         (lf.valid, lf.descriptors, lf.lines, lf.aligned))
+    t1 = _time.perf_counter()
     for i, r in enumerate(batch):
         v = valid[i]
         db.write_descriptors(r["iid"], desc[i][v])
@@ -160,6 +164,8 @@ def _flush_extraction_batch(db, batch, sift_opts, aligned_ratio,
         db.write_gravity(r["iid"], r["gravity"])
         print(f"  {r['name']}: {int(v.sum())} features "
               f"({int(aligned[i][v].sum())} aligned)")
+    print(f"  [batch of {n}: device {t1 - t0:.2f}s, "
+          f"db {_time.perf_counter() - t1:.2f}s]", flush=True)
 
 
 def _run_matcher(args, scheduler: str):

@@ -71,6 +71,12 @@ class MapperOptions:
     seed: int = 0
 
 
+_JIT_POSE: Dict = {}
+_JIT_INIT: Dict = {}
+_JIT_BA: Dict = {}
+_BA_SEEN: Set = set()
+
+
 class IncrementalMapper:
     def __init__(self, database_cache: DatabaseCache):
         self.cache = database_cache
@@ -87,9 +93,13 @@ class IncrementalMapper:
         self.num_total_reg_images = 0
         self.num_shared_reg_images = 0
         self._rng = np.random.default_rng(0)
-        self._jit_pose = {}
-        self._jit_init = {}
-        self._jit_ba = {}
+        # Traced-callable caches are MODULE-level: tracing the LM / init /
+        # pose graphs costs seconds each, and hierarchical / multi-model /
+        # relaxation-retry flows create several mapper instances per
+        # process that hit identical (shape, options) keys.
+        self._jit_pose = _JIT_POSE
+        self._jit_init = _JIT_INIT
+        self._jit_ba = _JIT_BA
 
     # -- lifecycle -------------------------------------------------------
 
@@ -966,10 +976,26 @@ class IncrementalMapper:
                                                       ba_options))
             q, t, X, summary = self._jit_ba[ba_key](problem)
         q, t, X = np.asarray(q), np.asarray(t), np.asarray(X)
+        _t_solved = _time.perf_counter()
         self._phase_times = getattr(self, "_phase_times", {})
         for k, v in (("ba_assemble", _t_assembled - _t_start),
-                     ("ba_solve", _time.perf_counter() - _t_assembled)):
+                     ("ba_solve", _t_solved - _t_assembled)):
             self._phase_times[k] = self._phase_times.get(k, 0.0) + v
+        ba_log = _os.environ.get("PPSFM_BA_LOG")
+        if ba_log:
+            # One line per solve: bucket key, first-use flag (compile /
+            # persistent-cache load happens on first use of a key in the
+            # process), wall seconds, LM iterations taken.
+            first = ba_key not in _BA_SEEN
+            _BA_SEEN.add(ba_key)
+            path = "soa" if use_soa else ("dense" if use_dense else "flat")
+            otag = abs(hash(ba_options)) % 10000
+            with open(ba_log, "a") as f:
+                f.write(f"{path} C={C} P={P} O={O} opt={otag:04d} "
+                        f"first={int(first)} "
+                        f"solve_s={_t_solved - _t_assembled:.3f} "
+                        f"iters={int(summary.num_iterations)} "
+                        f"nobs={len(obs)}\n")
         if not (np.isfinite(q).all() and np.isfinite(t).all()
                 and np.isfinite(X).all()):
             return False, len(obs)
