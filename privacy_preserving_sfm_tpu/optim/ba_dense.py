@@ -47,7 +47,9 @@ class DenseBAProblem(NamedTuple):
 
 def from_flat_problem(problem: ba_mod.BAProblem,
                       k_bucket: int = 8,
-                      m_bucket: int = 64) -> DenseBAProblem:
+                      m_bucket: int = 64,
+                      k_growth: int = 4,
+                      gather_tables: bool = True) -> DenseBAProblem:
     """Convert a flat BAProblem to dense per-point blocks (host-side).
 
     Builds BOTH layouts of the observation set: per-point (P, K) blocks for
@@ -55,6 +57,15 @@ def from_flat_problem(problem: ba_mod.BAProblem,
     over the flattened (P*K) axis so camera-bin reductions are dense
     gather+sum instead of one-hot matmuls (which waste a factor C of MXU
     FLOPs) or scatters (latency-bound).  Fully vectorized numpy.
+
+    ``k_growth`` sets the K-bucket progression (8, 32, 128, ... at the
+    default 4): K enters the jit retrace key, and on the tunneled TPU a
+    retrace + compile-cache load costs seconds — measured 18-23 s stalls
+    mid-mapper every time the max track length crossed a power of two
+    (reports/ba_key_diet_r4.md).  Padded-slot compute is MXU-cheap by
+    comparison.  ``gather_tables=False`` skips the (C, M) tables and
+    returns (C, 1) dummies: the SoA solver never reads them, and M (max
+    observations per camera) is the most volatile shape in the problem.
     """
     obs_point = np.asarray(problem.obs_point)
     obs_cam = np.asarray(problem.obs_cam)
@@ -68,7 +79,7 @@ def from_flat_problem(problem: ba_mod.BAProblem,
     K = int(max(1, counts.max()))
     K = max(K, k_bucket)
     while k_bucket < K:
-        k_bucket *= 2
+        k_bucket *= k_growth
     K = k_bucket
 
     # Per-point slots: stable sort by point, position within group.
@@ -87,22 +98,26 @@ def from_flat_problem(problem: ba_mod.BAProblem,
     lines[vp, kslot] = obs_line[vidx]
     weight[vp, kslot] = obs_weight[vidx]
 
-    # Per-camera gather over the flat (P*K) axis.
-    flat_idx = vp * K + kslot
-    vc = obs_cam[vidx]
-    ccounts = np.bincount(vc, minlength=C)
-    M = int(max(1, ccounts.max()))
-    m = m_bucket
-    while m < M:
-        m *= 2
-    M = m
-    corder = np.argsort(vc, kind="stable")
-    cstart = np.concatenate([[0], np.cumsum(ccounts)[:-1]])
-    mslot = np.arange(len(vidx)) - cstart[vc[corder]]
-    cam_gather = np.zeros((C, M), np.int32)
-    cam_gather_mask = np.zeros((C, M))
-    cam_gather[vc[corder], mslot] = flat_idx[corder]
-    cam_gather_mask[vc[corder], mslot] = 1.0
+    if gather_tables:
+        # Per-camera gather over the flat (P*K) axis.
+        flat_idx = vp * K + kslot
+        vc = obs_cam[vidx]
+        ccounts = np.bincount(vc, minlength=C)
+        M = int(max(1, ccounts.max()))
+        m = m_bucket
+        while m < M:
+            m *= k_growth
+        M = m
+        corder = np.argsort(vc, kind="stable")
+        cstart = np.concatenate([[0], np.cumsum(ccounts)[:-1]])
+        mslot = np.arange(len(vidx)) - cstart[vc[corder]]
+        cam_gather = np.zeros((C, M), np.int32)
+        cam_gather_mask = np.zeros((C, M))
+        cam_gather[vc[corder], mslot] = flat_idx[corder]
+        cam_gather_mask[vc[corder], mslot] = 1.0
+    else:
+        cam_gather = np.zeros((C, 1), np.int32)
+        cam_gather_mask = np.zeros((C, 1))
 
     return DenseBAProblem(
         qvecs=problem.qvecs, tvecs=problem.tvecs,

@@ -444,7 +444,7 @@ class IncrementalMapper:
         points = np.stack([self.rec.points3d[pid].xyz
                            for _, pid in tri_corrs])
 
-        n = _bucket(len(tri_corrs))
+        n = _bucket(len(tri_corrs), 256, growth=4)
         lines_p = np.zeros((n, 3))
         lines_p[:, 0] = 1.0
         lines_p[:len(tri_corrs)] = lines
@@ -546,7 +546,7 @@ class IncrementalMapper:
         aligned = np.asarray([img.aligned[li] for li, _ in tri_corrs])
         points = np.stack([self.rec.points3d[pid].xyz
                            for _, pid in tri_corrs])
-        n = _bucket(len(tri_corrs))
+        n = _bucket(len(tri_corrs), 256, growth=4)
         lines_p = np.zeros((S, n, 3))
         lines_p[:, :, 0] = 1.0
         # l(s) = normalize_ab(a, b, c / s).
@@ -840,9 +840,13 @@ class IncrementalMapper:
         cam_list = list(config_images) + extra_images
         cam_index = {iid: i for i, iid in enumerate(cam_list)}
         # Bucket every axis (cameras, points, observations) so repeated
-        # local/global BAs reuse a handful of compiled LM kernels.
-        C = _bucket(len(cam_list), 4, knee=16)
-        P = _bucket(len(point_ids), 32, knee=4096)
+        # local/global BAs reuse a handful of compiled LM kernels.  The
+        # grid is deliberately COARSE: on the tunneled TPU every new
+        # (shape, options) key costs ~7 s (trace + compile-cache load)
+        # while the padded-slot compute it avoids costs milliseconds
+        # (measured, reports/ba_key_diet_r4.md).
+        C = _bucket(len(cam_list), 8, knee=16)
+        P = _bucket(len(point_ids), 4096, knee=8192)
         O = _bucket(len(obs), knee=32768)
 
         camera0 = rec.cameras[rec.images[cam_list[0]].camera_id]
@@ -947,8 +951,10 @@ class IncrementalMapper:
         _t_assembled = _time.perf_counter()
         if use_soa:
             from privacy_preserving_sfm_tpu.optim import ba_dense, ba_soa
-            dense = ba_dense.from_flat_problem(problem)
-            ba_key = ("soa", dense.obs_cam.shape, P,
+            # No gather tables: the SoA solver never reads them, and M
+            # (max obs/camera) is the most retrace-volatile shape.
+            dense = ba_dense.from_flat_problem(problem, gather_tables=False)
+            ba_key = ("soa", dense.obs_cam.shape, C, P,
                       camera0.model, ba_options)
             if ba_key not in self._jit_ba:
                 model = camera0.model
@@ -1104,15 +1110,16 @@ class IncrementalMapper:
                                         options.filter_min_tri_angle)
 
 
-def _bucket(n: int, minimum: int = 64, knee: int = 1 << 30) -> int:
-    """Round up to the next power of two, switching to multiples of
-    ``knee`` past it: pow2 growth doubles the padding waste on the big
-    (late-pipeline) global BAs, where a linear grid costs a few extra
+def _bucket(n: int, minimum: int = 64, knee: int = 1 << 30,
+            growth: int = 2) -> int:
+    """Round up to the next power of ``growth``, switching to multiples
+    of ``knee`` past it: geometric growth bounds the padding waste on the
+    big (late-pipeline) global BAs, where a linear grid costs a few extra
     compiles (amortized by the persistent cache) but halves the padded
     work."""
     b = minimum
     while b < n and b < knee:
-        b *= 2
+        b *= growth
     if n <= b:
         return b
     return ((n + knee - 1) // knee) * knee

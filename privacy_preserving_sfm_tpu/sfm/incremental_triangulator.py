@@ -41,14 +41,17 @@ MAX_POOL = 24  # overall observation cap for the jitted estimator
 # Pool-size buckets for the batch solver: a pool of n observations runs at
 # the smallest bucket >= n, paying C(bucket, 3) hypotheses (<= 512 sampled
 # at bucket 24) instead of a fixed C(24,3) = 2024.
-N_BUCKETS = (4, 6, 9, 15, 24)
+N_BUCKETS = (4, 9, 24)
 T_CHUNK = 1024  # max tracks per device call (bounds padded HBM temps)
 
 
-def _bucket_t(n: int, minimum: int = 32) -> int:
+def _bucket_t(n: int, minimum: int = 128) -> int:
+    # Coarse x4 grid: every (T, N) shape pair is a separate trace +
+    # compile-cache load (~2-7 s through the TPU tunnel); the padded
+    # hypothesis scoring it avoids is MXU-cheap (see _solve_pools).
     b = minimum
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
