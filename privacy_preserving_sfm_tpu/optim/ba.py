@@ -117,6 +117,44 @@ class BAOptions(NamedTuple):
     refine_extra_params: bool = False
 
 
+class DynamicBAOptions(NamedTuple):
+    """The per-solve knobs the mapper varies between BA calls, as TRACED
+    scalars: strict-small-model tolerances, local/global iteration caps
+    and the soft_l1->trivial loss schedule all ride ONE compiled LM
+    kernel per problem shape instead of one per option set (each new
+    (shape, options) key costs ~7 s through the TPU tunnel — measured,
+    reports/ba_key_diet_r4.md).  Structural knobs (cg_iterations, Pallas
+    kernel choices, schur_mode) stay static in BAOptions."""
+
+    loss_code: jax.Array  # i32: 0 trivial / 1 soft_l1 / 2 cauchy
+    loss_scale: jax.Array
+    gradient_tolerance: jax.Array  # <= 0 disables
+    function_tolerance: jax.Array
+    initial_lambda: jax.Array
+    max_iterations: jax.Array  # i32
+
+    @staticmethod
+    def from_options(options: "BAOptions") -> "DynamicBAOptions":
+        code = {"trivial": 0, "soft_l1": 1, "cauchy": 2}[options.loss]
+        return DynamicBAOptions(
+            loss_code=jnp.asarray(code, jnp.int32),
+            loss_scale=jnp.asarray(options.loss_scale, jnp.float32),
+            gradient_tolerance=jnp.asarray(options.gradient_tolerance,
+                                           jnp.float32),
+            function_tolerance=jnp.asarray(options.function_tolerance,
+                                           jnp.float32),
+            initial_lambda=jnp.asarray(options.initial_lambda, jnp.float32),
+            max_iterations=jnp.asarray(options.max_iterations, jnp.int32))
+
+    @staticmethod
+    def strip(options: "BAOptions") -> "BAOptions":
+        """The static residue used as the compile key: every field that
+        moved into DynamicBAOptions is canonicalized away."""
+        return options._replace(
+            loss="trivial", loss_scale=1.0, gradient_tolerance=0.0,
+            function_tolerance=0.0, initial_lambda=1e-4, max_iterations=0)
+
+
 class BASummary(NamedTuple):
     initial_cost: jax.Array
     final_cost: jax.Array
@@ -134,6 +172,30 @@ def _robust_weight(sq_norm: jax.Array, loss: str, scale: float) -> jax.Array:
     if loss == "cauchy":
         return 1.0 / (1.0 + s)
     raise ValueError(f"unknown loss {loss}")
+
+
+def _robust_weight_dyn(sq_norm: jax.Array, code: jax.Array,
+                       scale: jax.Array) -> jax.Array:
+    """IRLS weight with a TRACED loss selector (0 trivial / 1 soft_l1 /
+    2 cauchy): computing all three branches is elementwise-cheap and one
+    compiled kernel then serves every loss variant (the mapper alternates
+    soft_l1/trivial between refinement rounds — a static loss string
+    would double the compile-key count, see reports/ba_key_diet_r4.md)."""
+    s = sq_norm / (scale * scale)
+    w_soft = 1.0 / jnp.sqrt(1.0 + s)
+    w_cauchy = 1.0 / (1.0 + s)
+    return jnp.where(code == 0, jnp.ones_like(sq_norm),
+                     jnp.where(code == 1, w_soft, w_cauchy))
+
+
+def _robust_cost_dyn(sq_norm: jax.Array, code: jax.Array,
+                     scale: jax.Array) -> jax.Array:
+    b = scale * scale
+    s = sq_norm / b
+    c_soft = 2.0 * b * (jnp.sqrt(1.0 + s) - 1.0)
+    c_cauchy = b * jnp.log1p(s)
+    return jnp.where(code == 0, sq_norm,
+                     jnp.where(code == 1, c_soft, c_cauchy))
 
 
 def _robust_cost(sq_norm: jax.Array, loss: str, scale: float) -> jax.Array:

@@ -58,10 +58,10 @@ def from_flat_problem(problem: ba_mod.BAProblem,
     gather+sum instead of one-hot matmuls (which waste a factor C of MXU
     FLOPs) or scatters (latency-bound).  Fully vectorized numpy.
 
-    ``k_growth`` sets the K-bucket progression (8, 32, 128, ... at the
-    default 4): K enters the jit retrace key, and on the tunneled TPU a
-    retrace + compile-cache load costs seconds — measured 18-23 s stalls
-    mid-mapper every time the max track length crossed a power of two
+    ``k_growth != 2`` selects the coarse K ladder (8, 16, 32, 128, 512):
+    K enters the jit retrace key, and on the tunneled TPU a retrace +
+    compile-cache load costs seconds — measured 18-23 s stalls mid-mapper
+    every time the max track length crossed a power of two
     (reports/ba_key_diet_r4.md).  Padded-slot compute is MXU-cheap by
     comparison.  ``gather_tables=False`` skips the (C, M) tables and
     returns (C, 1) dummies: the SoA solver never reads them, and M (max
@@ -77,10 +77,20 @@ def from_flat_problem(problem: ba_mod.BAProblem,
     valid = obs_weight > 0
     counts = np.bincount(obs_point[valid], minlength=P)
     K = int(max(1, counts.max()))
-    K = max(K, k_bucket)
-    while k_bucket < K:
-        k_bucket *= k_growth
-    K = k_bucket
+    if k_growth == 2:
+        K = max(K, k_bucket)
+        while k_bucket < K:
+            k_bucket *= 2
+        K = k_bucket
+    else:
+        # Coarse ladder: x2 through the Pallas-Gram-kernel range
+        # (gram_fits caps K <= 16), then straight to the long-track
+        # classes.  Local bundles live in the 8/16 rungs (K is bounded
+        # by the bundle's camera count), global BAs in 32/128/512.
+        for rung in (8, 16, 32, 128, 512, 2048):
+            if K <= rung:
+                K = rung
+                break
 
     # Per-point slots: stable sort by point, position within group.
     vidx = np.nonzero(valid)[0]

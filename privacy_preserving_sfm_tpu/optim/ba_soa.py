@@ -127,7 +127,8 @@ def _sym3_matvec(m, x0, x1, x2):
 
 
 def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
-                      options: ba_mod.BAOptions = ba_mod.BAOptions()):
+                      options: ba_mod.BAOptions = ba_mod.BAOptions(),
+                      dynamic: ba_mod.DynamicBAOptions | None = None):
     """Explicit-Schur LM in SoA component layout.
 
     Requires ``schur_pcg.explicit_fits(C)``; the caller (``_run_ba`` /
@@ -153,6 +154,11 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
     C = problem.qvecs.shape[0]
     P, K = problem.obs_cam.shape
     dtype = problem.points3d.dtype
+    # Per-solve knobs: traced scalars when a DynamicBAOptions is supplied
+    # (the production mapper path — one compiled kernel serves every
+    # loss/tolerance/iteration-cap variant), static otherwise.
+    dyn = dynamic if dynamic is not None \
+        else ba_mod.DynamicBAOptions.from_options(options)
     eye6 = jnp.eye(6, dtype=dtype)
     n = 6 * C
     n_pad = schur_pcg.padded_dim(C)
@@ -211,9 +217,9 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         jp = tuple(c * pmask[None, :] for c in jp)
         sq = r1 * r1 + r2 * r2
         cost = 0.5 * jnp.sum(
-            ba_mod._robust_cost(sq, options.loss, options.loss_scale)
+            ba_mod._robust_cost_dyn(sq, dyn.loss_code, dyn.loss_scale)
             * w_kp)
-        w = ba_mod._robust_weight(sq, options.loss, options.loss_scale) \
+        w = ba_mod._robust_weight_dyn(sq, dyn.loss_code, dyn.loss_scale) \
             * w_kp
 
         # Point side: 6 Hpp + 3 gp components, reduced over K.
@@ -324,14 +330,12 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
     def lm_body(state):
         q, t, X, lam, c, it, stall, rej, normal = state
         hpp, gp, hcp, cam_sums = normal
-        if options.gradient_tolerance > 0:
-            gc_m = cam_sums[21:27].T * problem.cam_dof_mask
-            gp_m = gp.T * pmask[:, None]
-            g_max = jnp.maximum(jnp.max(jnp.abs(gc_m)),
-                                jnp.max(jnp.abs(gp_m)))
-            grad_done = g_max <= options.gradient_tolerance
-        else:
-            grad_done = jnp.asarray(False)
+        gc_m = cam_sums[21:27].T * problem.cam_dof_mask
+        gp_m = gp.T * pmask[:, None]
+        g_max = jnp.maximum(jnp.max(jnp.abs(gc_m)),
+                            jnp.max(jnp.abs(gp_m)))
+        grad_done = (dyn.gradient_tolerance > 0) & \
+            (g_max <= dyn.gradient_tolerance)
         dc, dp = solve_step(hpp, gp, hcp, cam_sums, lam)
         dc_m = dc * problem.cam_dof_mask
         dp_m = dp * pmask[:, None]
@@ -354,7 +358,7 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
             tuple(normal_new), normal)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, options.min_lambda),
                         jnp.minimum(lam * 4.0, options.max_lambda))
-        conv = accept & (rel < options.function_tolerance)
+        conv = accept & (rel < dyn.function_tolerance)
         stall = jnp.where(conv, stall + 1, jnp.where(accept, 0, stall))
         stall = jnp.where(grad_done, 2, stall)
         rej = jnp.where(accept, 0, rej + 1)
@@ -364,11 +368,11 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
 
     def lm_cond(state):
         lam, c, it, stall = state[3], state[4], state[5], state[6]
-        return (it < options.max_iterations) & (stall < 2) & (
+        return (it < dyn.max_iterations) & (stall < 2) & (
             lam < options.max_lambda * 0.99)
 
     init = (problem.qvecs, problem.tvecs, problem.points3d,
-            jnp.asarray(options.initial_lambda, dtype), cost0,
+            dyn.initial_lambda.astype(dtype), cost0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), normal0)
     q, t, X, lam, c, it = jax.lax.while_loop(lm_cond, lm_body, init)[:6]

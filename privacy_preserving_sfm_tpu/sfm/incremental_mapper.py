@@ -155,6 +155,17 @@ class IncrementalMapper:
     def register_initial_line_images(self, options: MapperOptions,
                                      aligned_cache: DatabaseCache) -> bool:
         """Bootstrap 4 poses (``incremental_mapper.cc:192-567``)."""
+        import time as _time
+        _t0 = _time.perf_counter()
+
+        def _tick(name):
+            nonlocal _t0
+            t = _time.perf_counter()
+            self._phase_times = getattr(self, "_phase_times", {})
+            self._phase_times[name] = \
+                self._phase_times.get(name, 0.0) + (t - _t0)
+            _t0 = t
+
         self._rng = np.random.default_rng(options.seed)
         graph = aligned_cache.graph
         image_ids = sorted(aligned_cache.images.keys())
@@ -232,9 +243,16 @@ class IncrementalMapper:
         # through the TPU tunnel costs 26 ms..minutes depending on its
         # health; this was 59-355 s of mapper wall).
         cand = candidates[:10]
+        # Fixed batch of 10 (repeat the last set when fewer) and a coarse
+        # x4 track grid: the init kernel compiles per (B, na, nu) shape,
+        # and a fresh compile through the TPU tunnel costs tens of
+        # seconds against ~1 s of redundant padded compute.
+        cand = cand + [cand[-1]] * (10 - len(cand))
         B = len(cand)
-        na = max(_bucket(len(all_aligned[key])) for key, _, _ in cand)
-        nu = max(_bucket(len(all_unaligned[key])) for key, _, _ in cand)
+        na = max(_bucket(len(all_aligned[key]), 128, growth=4)
+                 for key, _, _ in cand)
+        nu = max(_bucket(len(all_unaligned[key]), 128, growth=4)
+                 for key, _, _ in cand)
         al_pad = np.zeros((B, 4, na, 3))
         al_pad[:, :, :, 0] = 1.0
         un_pad = np.zeros((B, 4, nu, 3))
@@ -263,6 +281,7 @@ class IncrementalMapper:
             av[b, :len(atr)] = True
             uv[b, :len(utr)] = True
 
+        _tick("init_assemble")
         run = self._init_kernel_batch(B, na, nu, options.init_num_samples)
         res = run(jax.random.PRNGKey(options.seed), jnp.asarray(al_pad),
                   jnp.asarray(av), jnp.asarray(un_pad), jnp.asarray(uv),
@@ -270,6 +289,7 @@ class IncrementalMapper:
                   options.init_min_tri_angle,
                   options.init_min_num_inliers)
         success = np.asarray(res.success)
+        _tick("init_solve")
         ratios = np.where(success, np.asarray(res.inlier_ratio), -1.0)
         best = int(np.argmax(ratios))
         if ratios[best] <= 0.0:
@@ -845,7 +865,7 @@ class IncrementalMapper:
         # (shape, options) key costs ~7 s (trace + compile-cache load)
         # while the padded-slot compute it avoids costs milliseconds
         # (measured, reports/ba_key_diet_r4.md).
-        C = _bucket(len(cam_list), 8, knee=16)
+        C = _bucket(len(cam_list), 8)
         P = _bucket(len(point_ids), 4096, knee=8192)
         O = _bucket(len(obs), knee=32768)
 
@@ -954,14 +974,19 @@ class IncrementalMapper:
             # No gather tables: the SoA solver never reads them, and M
             # (max obs/camera) is the most retrace-volatile shape.
             dense = ba_dense.from_flat_problem(problem, gather_tables=False)
+            # Loss/tolerance/iteration-cap knobs ride as TRACED scalars:
+            # one compiled kernel per problem SHAPE serves all six option
+            # sets the controller alternates between.
+            opts_static = ba_mod.DynamicBAOptions.strip(ba_options)
+            dyn = ba_mod.DynamicBAOptions.from_options(ba_options)
             ba_key = ("soa", dense.obs_cam.shape, C, P,
-                      camera0.model, ba_options)
+                      camera0.model, opts_static)
             if ba_key not in self._jit_ba:
                 model = camera0.model
                 self._jit_ba[ba_key] = jax.jit(
-                    lambda prob: ba_soa.bundle_adjust_soa(
-                        prob, model, ba_options))
-            q, t, X, summary = self._jit_ba[ba_key](dense)
+                    lambda prob, dy: ba_soa.bundle_adjust_soa(
+                        prob, model, opts_static, dynamic=dy))
+            q, t, X, summary = self._jit_ba[ba_key](dense, dyn)
         elif use_dense:
             from privacy_preserving_sfm_tpu.optim import ba_dense
             dense = ba_dense.from_flat_problem(problem)
