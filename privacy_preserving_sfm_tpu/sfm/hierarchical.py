@@ -106,6 +106,17 @@ def _block_worker(args) -> Optional[dict]:
     """
     database_path, image_names, options, platform = args
     if platform:
+        import os
+
+        if platform == "cpu" and "PPSFM_WORKER_THREADS" in os.environ:
+            # Parallel CPU workers oversubscribe the host unless each
+            # XLA:CPU client is capped (4 workers x all-cores Eigen pools
+            # thrash a 4-core host).  Must be set before jax imports.
+            n = os.environ["PPSFM_WORKER_THREADS"]
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_cpu_multi_thread_eigen={'false' if n == '1' else 'true'}"
+                  f" intra_op_parallelism_threads={n}")
         import jax
 
         jax.config.update("jax_platforms", platform)
