@@ -199,7 +199,10 @@ def main():
     # two-layout camera reduction; round 4 the SoA component-layout
     # solver (one fused residual pass per iteration + the SoA-native
     # Pallas Gram kernel) — measure all, report the best.
-    dense = ba_dense.from_flat_problem(problem, k_bucket=8)
+    # k_growth=2: the bench measures kernel speed at the exact K=8 shape
+    # (the mapper's coarse production ladder starts at 16 to bound its
+    # compile-key count — that padding policy is not the kernel's speed).
+    dense = ba_dense.from_flat_problem(problem, k_bucket=8, k_growth=2)
     num_obs = int(problem.obs_cam.shape[0])
 
     # (label, solver, cam_reduce, schur_mode) — "explicit" materializes

@@ -114,7 +114,7 @@ def main():
         P = 200 * C
         rng = np.random.default_rng(0)
         problem = build_problem(rng, C, P, 6, jnp.float32)
-        dense = ba_dense.from_flat_problem(problem, k_bucket=8)
+        dense = ba_dense.from_flat_problem(problem, k_bucket=8, k_growth=2)
         num_obs = 6 * P
         opts = ba_mod.BAOptions(
             max_iterations=args.lm_iters, cg_iterations=args.cg_iters,

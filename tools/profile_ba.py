@@ -73,7 +73,7 @@ def main():
           flush=True)
     rng = np.random.default_rng(0)
     problem = bench.build_problem(rng, jnp.float32)
-    dense = ba_dense.from_flat_problem(problem, k_bucket=8)
+    dense = ba_dense.from_flat_problem(problem, k_bucket=8, k_growth=2)
     C = dense.qvecs.shape[0]
     P, K = dense.obs_cam.shape
     n = 6 * C
