@@ -58,7 +58,7 @@ def from_flat_problem(problem: ba_mod.BAProblem,
     gather+sum instead of one-hot matmuls (which waste a factor C of MXU
     FLOPs) or scatters (latency-bound).  Fully vectorized numpy.
 
-    ``k_growth != 2`` selects the coarse K ladder (16, 32, 128, 512):
+    ``k_growth != 2`` selects the coarse K ladder (16, 128, 512):
     K enters the jit retrace key, and on the tunneled TPU a retrace +
     compile-cache load costs seconds — measured 18-23 s stalls mid-mapper
     every time the max track length crossed a power of two
@@ -87,7 +87,7 @@ def from_flat_problem(problem: ba_mod.BAProblem,
         # (gram_fits caps K <= 16), then straight to the long-track
         # classes.  Local bundles live in the 8/16 rungs (K is bounded
         # by the bundle's camera count), global BAs in 32/128/512.
-        for rung in (16, 32, 128, 512, 2048):
+        for rung in (16, 128, 512, 2048):
             if K <= rung:
                 K = rung
                 break

@@ -285,10 +285,20 @@ class IncrementalMapperController:
         implicitly at process exit.  See
         ``incremental_mapper.prewarm_ba_kernels``.
         """
+        import os
         import threading
 
         import jax
 
+        # OFF by default: on the tunneled v5e the prewarm thread's dummy
+        # solves ran CONCURRENTLY with the init kernel and crashed the
+        # TPU worker (2026-08-20, box50 run — same in-context fault class
+        # as the round-3 fused-PCG demotion, e0b7a29).  The compile-key
+        # diet makes the remaining first-use cost small enough to eat
+        # inline; re-enable to experiment on hardware that tolerates
+        # concurrent submission.
+        if os.environ.get("PPSFM_BA_PREWARM") != "1":
+            return
         if jax.default_backend() == "cpu":
             return
         if getattr(IncrementalMapperController, "_prewarm_started", False):

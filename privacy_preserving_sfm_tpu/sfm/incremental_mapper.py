@@ -926,11 +926,12 @@ class IncrementalMapper:
         # (shape, options) key costs ~7 s (trace + compile-cache load)
         # while the padded-slot compute it avoids costs milliseconds
         # (measured, reports/ba_key_diet_r4.md).
-        # C min 16: the Schur system pads to 128 lanes either way, and one
-        # bucket covers every local bundle.  P min 8192 likewise folds all
-        # local + early-global point counts into one rung.
-        C = _bucket(len(cam_list), 16)
-        P = _bucket(len(point_ids), 8192, knee=8192)
+        # C ladder 16/64/256: the Schur system pads to 128 lanes at
+        # C<=21 either way, and two rungs cover local bundles + every
+        # <=256-camera global.  P folds all local and early-global point
+        # counts into 8192, then multiples of 16384.
+        C = _bucket(len(cam_list), 16, growth=4)
+        P = _bucket(len(point_ids), 8192, knee=16384)
         O = _bucket(len(obs), knee=32768)
 
         camera0 = rec.cameras[rec.images[cam_list[0]].camera_id]
