@@ -926,11 +926,15 @@ class IncrementalMapper:
         # (shape, options) key costs ~7 s (trace + compile-cache load)
         # while the padded-slot compute it avoids costs milliseconds
         # (measured, reports/ba_key_diet_r4.md).
-        # C ladder 16/64/256: the Schur system pads to 128 lanes at
-        # C<=21 either way, and two rungs cover local bundles + every
-        # <=256-camera global.  P folds all local and early-global point
-        # counts into 8192, then multiples of 16384.
-        C = _bucket(len(cam_list), 16, growth=4)
+        # C ladder 16/64 covers local bundles and small-model globals
+        # (the Schur system pads to 128 lanes at C<=21 either way); past
+        # 64 cameras the grid switches to multiples of 64 — C keys only
+        # accrue as the model grows, and x4 growth there would pad a
+        # 300-camera global to 1024.  P folds all local and early-global
+        # point counts into 8192, then multiples of 16384.
+        n_cam = len(cam_list)
+        C = (_bucket(n_cam, 16, growth=4) if n_cam <= 64
+             else _bucket(n_cam, 64, knee=64))
         P = _bucket(len(point_ids), 8192, knee=16384)
         O = _bucket(len(obs), knee=32768)
 
