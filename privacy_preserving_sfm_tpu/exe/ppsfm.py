@@ -519,7 +519,15 @@ def cmd_automatic_reconstructor(args):
     args.output_path = os.path.join(args.workspace_path, "sparse")
     os.makedirs(args.workspace_path, exist_ok=True)
     cmd_feature_extractor(args)
-    cmd_exhaustive_matcher(args)
+    # In-process phase chaining matters on the tunneled TPU: each fresh
+    # process pays a remote-claim handshake (minutes when the previous
+    # client just exited), so the whole pipeline runs as ONE client.
+    if getattr(args, "matcher", "exhaustive") == "sequential":
+        if not hasattr(args, "overlap"):
+            args.overlap = 10
+        cmd_sequential_matcher(args)
+    else:
+        cmd_exhaustive_matcher(args)
     cmd_mapper(args)
 
 
@@ -646,6 +654,9 @@ def main(argv=None):
     p.add_argument("--image_path", required=True)
     p.add_argument("--quality", default="high")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--matcher", choices=["exhaustive", "sequential"],
+                   default="exhaustive")
+    p.add_argument("--overlap", type=int, default=10)
     p.set_defaults(func=cmd_automatic_reconstructor)
 
     args = parser.parse_args(argv)
