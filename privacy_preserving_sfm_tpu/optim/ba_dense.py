@@ -87,7 +87,7 @@ def from_flat_problem(problem: ba_mod.BAProblem,
         # (gram_fits caps K <= 16), then straight to the long-track
         # classes.  Local bundles live in the 8/16 rungs (K is bounded
         # by the bundle's camera count), global BAs in 32/128/512.
-        for rung in (16, 128, 512, 2048):
+        for rung in (16, 128, 256, 512, 2048):
             if K <= rung:
                 K = rung
                 break

@@ -918,6 +918,29 @@ class IncrementalMapper:
         if len(obs) < 6 or len(point_ids) == 0:
             return False, 0
 
+        # Cap observations per point at 128: the dense (K, P) layouts pad
+        # every point to the MAX track length, and a handful of
+        # scene-spanning tracks (box300: ~300 obs) would pull K to 512 —
+        # measured 47 GB HBM at compile (OOM) for a 192-camera global.
+        # A >128-obs track is ~40x over-determined; a deterministic
+        # stride subset keeps full-arc view coverage.  (Ceres' per-obs
+        # sparse layout has no such coupling, hence no reference
+        # analogue; the reference's local BA caps variable tracks at 15.)
+        cnt: Dict[int, int] = {}
+        for _, _, pid in obs:
+            cnt[pid] = cnt.get(pid, 0) + 1
+        if cnt and max(cnt.values()) > 128:
+            keep: List[Tuple[int, int, int]] = []
+            seen: Dict[int, int] = {}
+            for o in obs:
+                pid = o[2]
+                n = cnt[pid]
+                i = seen.get(pid, 0)
+                seen[pid] = i + 1
+                if n <= 128 or i * 128 // n != (i - 1) * 128 // n or i == 0:
+                    keep.append(o)
+            obs = keep
+
         cam_list = list(config_images) + extra_images
         cam_index = {iid: i for i, iid in enumerate(cam_list)}
         # Bucket every axis (cameras, points, observations) so repeated
@@ -933,8 +956,12 @@ class IncrementalMapper:
         # 300-camera global to 1024.  P folds all local and early-global
         # point counts into 8192, then multiples of 16384.
         n_cam = len(cam_list)
-        C = (_bucket(n_cam, 16, growth=4) if n_cam <= 64
-             else _bucket(n_cam, 64, knee=64))
+        if n_cam <= 64:
+            C = _bucket(n_cam, 16, growth=4)
+        elif 128 < n_cam <= 170:
+            C = 160  # largest rung inside the explicit-Schur SoA regime
+        else:
+            C = _bucket(n_cam, 64, knee=64)
         P = _bucket(len(point_ids), 8192, knee=16384)
         O = _bucket(len(obs), knee=32768)
 
@@ -1058,6 +1085,14 @@ class IncrementalMapper:
             q, t, X, summary = self._jit_ba[ba_key](dense, dyn)
         elif use_dense:
             from privacy_preserving_sfm_tpu.optim import ba_dense
+            if on_accel and C > 170 and ba_options.cam_reduce == "onehot":
+                # Past the explicit-Schur regime the one-hot camera
+                # reduction materializes a (P*K, C) matrix — 6.4 GB at
+                # box300's first 192-camera global (compile OOM).  The
+                # camera-sorted gather layout is M-bounded and
+                # memory-sane; slightly slower per iteration, but this
+                # regime is rare (big-model globals only).
+                ba_options = ba_options._replace(cam_reduce="twolayout")
             dense = ba_dense.from_flat_problem(problem)
             ba_key = (dense.obs_cam.shape, dense.cam_gather.shape, P,
                       camera0.model, ba_options)
