@@ -956,12 +956,7 @@ class IncrementalMapper:
         # 300-camera global to 1024.  P folds all local and early-global
         # point counts into 8192, then multiples of 16384.
         n_cam = len(cam_list)
-        if n_cam <= 64:
-            C = _bucket(n_cam, 16, growth=4)
-        elif 128 < n_cam <= 170:
-            C = 160  # largest rung inside the explicit-Schur SoA regime
-        else:
-            C = _bucket(n_cam, 64, knee=64)
+        C = _bucket_cams(n_cam)
         P = _bucket(len(point_ids), 8192, knee=16384)
         O = _bucket(len(obs), knee=32768)
 
@@ -1238,6 +1233,22 @@ class IncrementalMapper:
     def filter_points(self, options: MapperOptions) -> int:
         return self.rec.filter_points3d(options.filter_max_reproj_error,
                                         options.filter_min_tri_angle)
+
+
+def _bucket_cams(n_cam: int) -> int:
+    """Camera-count padding ladder for the BA compile-key diet.
+
+    16/64 covers local bundles and small-model globals; 128 and 170 are
+    the explicit-Schur SoA rungs (``schur_pcg.explicit_fits``: 6*170 =
+    1020 <= 1024 VMEM lanes); past the SoA regime the grid is multiples
+    of 64 so a 300-camera global pads to 320, not 1024."""
+    if n_cam <= 64:
+        return _bucket(n_cam, 16, growth=4)
+    if n_cam <= 128:
+        return 128
+    if n_cam <= 170:
+        return 170
+    return _bucket(n_cam, 64, knee=64)
 
 
 def _bucket(n: int, minimum: int = 64, knee: int = 1 << 30,

@@ -180,3 +180,26 @@ class TestDenseBA:
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(q[0]), problem.qvecs[0],
                                    atol=1e-12)
+
+
+def test_bucket_cams_covers_every_count():
+    """Regression: the C ladder must never pad BELOW the camera count.
+
+    Round 4 hit an IndexError at the first box300 161-camera global BA:
+    the 129..170 rung returned 160, smaller than n_cam (the SoA regime
+    boundary is 170 = floor(1024/6), not 160)."""
+    from privacy_preserving_sfm_tpu.sfm.incremental_mapper import _bucket_cams
+
+    prev = 0
+    for n in range(1, 1400):
+        c = _bucket_cams(n)
+        assert c >= n, (n, c)
+        assert c >= prev, (n, c, prev)  # monotone: keys only accrue
+        prev = c
+    # Spot-check the intended rungs.
+    assert _bucket_cams(10) == 16
+    assert _bucket_cams(64) == 64
+    assert _bucket_cams(100) == 128
+    assert _bucket_cams(161) == 170
+    assert _bucket_cams(171) == 192
+    assert _bucket_cams(300) == 320
