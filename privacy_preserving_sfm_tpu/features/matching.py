@@ -89,9 +89,7 @@ def _top2_both_batched(d1s, d2s, valid1, valid2):
     if _use_kernel(n1, n2, d):
         from privacy_preserving_sfm_tpu.features import matching_kernels
 
-        bd12, sd12, idx12 = matching_kernels.top2_scores(d1s, d2s, valid2)
-        bd21, sd21, idx21 = matching_kernels.top2_scores(d2s, d1s, valid1)
-        return bd12, sd12, idx12, bd21, sd21, idx21
+        return matching_kernels.top2_scores_bidir(d1s, d2s, valid1, valid2)
 
     def one(d1, d2, v1, v2):
         dots = descriptor_dots(d1, d2)

@@ -65,16 +65,43 @@ class TestTop2Kernel:
                                 -1.0, 1.0))
         assert (ang > 3.0).all()
 
+    def test_bidir_matches_two_pass(self):
+        """Single-stream bidirectional kernel == two swapped passes."""
+        rng = np.random.default_rng(4)
+        b, n1, n2 = 2, 384, 512
+        d1 = np.stack([_rand_desc(rng, n1) for _ in range(b)])
+        d2 = np.stack([_rand_desc(rng, n2) for _ in range(b)])
+        d2[0, 40] = d1[0, 7]    # exact duplicate across images
+        d2[0, 300] = d1[0, 7]   # second duplicate -> tie in both dirs
+        v1 = np.ones((b, n1), bool)
+        v2 = np.ones((b, n2), bool)
+        v1[1, 250:] = False
+        v2[1, 400:] = False
+        args = (jnp.asarray(d1), jnp.asarray(d2))
+        bd12, sd12, i12, bd21, sd21, i21 = matching_kernels.top2_scores_bidir(
+            *args, jnp.asarray(v1), jnp.asarray(v2), interpret=True)
+        bd12r, sd12r, i12r = matching_kernels.top2_scores(
+            *args, jnp.asarray(v2), interpret=True)
+        bd21r, sd21r, i21r = matching_kernels.top2_scores(
+            args[1], args[0], jnp.asarray(v1), interpret=True)
+        np.testing.assert_array_equal(np.asarray(i12), np.asarray(i12r))
+        np.testing.assert_array_equal(np.asarray(i21), np.asarray(i21r))
+        np.testing.assert_allclose(np.asarray(bd12), np.asarray(bd12r))
+        np.testing.assert_allclose(np.asarray(sd12), np.asarray(sd12r))
+        np.testing.assert_allclose(np.asarray(bd21), np.asarray(bd21r))
+        np.testing.assert_allclose(np.asarray(sd21), np.asarray(sd21r))
+
     def test_match_descriptors_end_to_end_interpret(self, monkeypatch):
         """Force the kernel path through match_descriptors (interpret)."""
         rng = np.random.default_rng(3)
         d1 = _rand_desc(rng, 256)
         d2 = np.concatenate([d1[:100], _rand_desc(rng, 156)])
-        orig = matching_kernels.top2_scores
+        orig = matching_kernels.top2_scores_bidir
         monkeypatch.setattr(matching, "_use_kernel", lambda *a: True)
         monkeypatch.setattr(
-            matching_kernels, "top2_scores",
-            lambda a, b, v, interpret=False: orig(a, b, v, interpret=True))
+            matching_kernels, "top2_scores_bidir",
+            lambda a, b, v1, v2, interpret=False: orig(a, b, v1, v2,
+                                                       interpret=True))
         res_k = matching.match_descriptors(jnp.asarray(d1), jnp.asarray(d2))
         monkeypatch.setattr(matching, "_use_kernel", lambda *a: False)
         res_x = matching.match_descriptors(jnp.asarray(d1), jnp.asarray(d2))
