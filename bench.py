@@ -246,7 +246,11 @@ def main():
         "all_modes": results,
         "useful_flops_per_obs_iter": USEFUL_FLOPS_PER_OBS_ITER,
         "useful_tflops": value * USEFUL_FLOPS_PER_OBS_ITER / 1e12,
-        "mfu": value * USEFUL_FLOPS_PER_OBS_ITER / PEAK_F32_FLOPS,
+        # NOT an MFU claim: useful-FLOPs basis over the f32 peak, a trend
+        # metric only (the algorithm is memory/latency-bound by design).
+        "useful_flops_over_f32_peak": (
+            value * USEFUL_FLOPS_PER_OBS_ITER / PEAK_F32_FLOPS),
+        "ms_per_lm_iter_120k_obs": 120_000 / value * 1e3,
         **frontend,
     }))
 
