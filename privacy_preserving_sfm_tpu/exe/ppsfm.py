@@ -481,6 +481,14 @@ def cmd_model_viewer(args):
     from privacy_preserving_sfm_tpu.viz import render_model, render_turntable
 
     rec = Reconstruction.read_text(args.input_path)
+    if getattr(args, "html", None):
+        from privacy_preserving_sfm_tpu.viz.interactive import export_html
+
+        export_html(rec, args.html)
+        print(f"Wrote interactive viewer {args.html}")
+        return
+    if not args.output_path:
+        raise SystemExit("model_viewer: need --output_path or --html")
     if args.turntable > 0:
         paths = render_turntable(rec, args.output_path,
                                  num_frames=args.turntable,
@@ -632,8 +640,11 @@ def main(argv=None):
 
     p = sub.add_parser("model_viewer")
     p.add_argument("--input_path", required=True)
-    p.add_argument("--output_path", required=True,
+    p.add_argument("--output_path", required=False, default="",
                    help="PNG path (or directory with --turntable)")
+    p.add_argument("--html", default="",
+                   help="write a self-contained interactive HTML viewer "
+                        "(orbit/pan/zoom, color-by, frusta) instead of PNG")
     p.add_argument("--turntable", type=int, default=0,
                    help="render N azimuth frames instead of one view")
     p.add_argument("--elev", type=float, default=-60.0)
