@@ -467,6 +467,16 @@ def padded_dim(num_cams: int) -> int:
     return _round_up(6 * num_cams, _LANE)
 
 
-def explicit_fits(num_cams: int, max_dim: int = 1024) -> bool:
-    """True when the dense (6C, 6C) system + preconditioner fit in VMEM."""
+def explicit_fits(num_cams: int, max_dim: int = 3072) -> bool:
+    """True when the explicit-Schur kernels stay inside their VMEM budget.
+
+    The binding constraint is ``_gram_soa_kernel``'s resident output
+    block: G is (6*C_pad, 6*C_pad) f32 accumulated across point tiles,
+    37.8 MB at C_pad=512 (6C=3072), plus 18 (C_pad, TP) V panels
+    (4.7 MB) — comfortably under the kernel's 100 MB ``vmem_limit_bytes``
+    at 3072 but 151 MB at the next rung (C_pad=1024).  Box300-scale
+    globals (C<=512) therefore stay on the SoA path; beyond it
+    ``_run_ba`` falls back to the implicit twolayout solver.  (The old
+    1024 bound predated the SoA kernel and measured nothing.)
+    """
     return padded_dim(num_cams) <= max_dim

@@ -1238,16 +1238,18 @@ class IncrementalMapper:
 def _bucket_cams(n_cam: int) -> int:
     """Camera-count padding ladder for the BA compile-key diet.
 
-    16/64 covers local bundles and small-model globals; 128 and 170 are
-    the explicit-Schur SoA rungs (``schur_pcg.explicit_fits``: 6*170 =
-    1020 <= 1024 VMEM lanes); past the SoA regime the grid is multiples
-    of 64 so a 300-camera global pads to 320, not 1024."""
+    16/64 covers local bundles and small-model globals; past 64 the grid
+    is multiples of 64 (a 300-camera global pads to 320, not 1024).  The
+    whole grid up to 512 sits inside the SoA explicit-Schur regime
+    (``schur_pcg.explicit_fits``, 6*512=3072 VMEM lanes) — round 4's
+    box300 run proved the >170-camera globals MUST stay on the SoA path:
+    the dense twolayout fallback's (P, K, 6, 3) block tensors draw a
+    pathological 57x-padded XLA copy layout at K=128 (8 GB HLO temp,
+    compile-time HBM OOM)."""
     if n_cam <= 64:
         return _bucket(n_cam, 16, growth=4)
     if n_cam <= 128:
         return 128
-    if n_cam <= 170:
-        return 170
     return _bucket(n_cam, 64, knee=64)
 
 
