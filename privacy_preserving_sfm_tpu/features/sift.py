@@ -85,6 +85,21 @@ class SiftOptions(NamedTuple):
     #   "gather" — per-keypoint sampled bilinear gathers (VLFeat-faithful
     #     windows); required for estimate_affine_shape / DSP.
     descriptor_mode: str = "dense"
+    # Round-5 dense-stage HBM diet (the stage is bandwidth-bound: round 4
+    # measured it at 418 ms of the 483 ms single-image wall).
+    #   dense_half_res — 2x2 average-pool the 36+8 soft-binned gradient
+    #     channels BEFORE the window filters and sample keypoints from
+    #     the half-resolution filtered fields.  Legit because the fields
+    #     are then convolved with windows of sigma >= 1.5 px (orientation
+    #     Gaussian 1.5*sigma_l >= 3 px, descriptor tent pitch
+    #     3*sigma_l >= 6 px): the pool adds a 2x2 box (variance ~0.25
+    #     px^2) to windows of variance >= 9 px^2 and quarters channel
+    #     traffic.  Accuracy neutrality gated by tools/frontend_eval.py.
+    #   dense_bf16 — run the channel filters in bf16 (f32 accumulate),
+    #     halving conv HBM traffic; descriptors quantize to uint8/512
+    #     (~0.2 % steps) so bf16's 0.4 % rounding is at the noise floor.
+    dense_half_res: bool = True
+    dense_bf16: bool = True
 
 
 class SiftFeatures(NamedTuple):
@@ -319,17 +334,32 @@ def _tent_kernel1d(radius: float, dtype) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(t) / radius)
 
 
-def _channel_filter(ch: jax.Array, k: jax.Array) -> jax.Array:
-    """Separable 2D filter of a channel stack (C, H, W), channels=batch."""
+def _channel_filter(ch: jax.Array, k: jax.Array,
+                    bf16: bool = False) -> jax.Array:
+    """Separable 2D filter of a channel stack (C, H, W), channels=batch.
+
+    ``bf16`` runs both 1D convs with bfloat16 operands and f32
+    accumulation — half the HBM traffic on the bandwidth-bound dense
+    stage for ~0.4 % rounding on channel masses (below the descriptor's
+    uint8 quantization step).
+    """
+    out_dtype = ch.dtype
     r = (k.shape[0] - 1) // 2
+    if bf16:
+        ch = ch.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
     x = ch[:, None]  # (C, 1, H, W)
     x = jax.lax.conv_general_dilated(
         x, k[None, None, None, :], (1, 1), [(0, 0), (r, r)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32 if bf16 else None)
+    if bf16:
+        x = x.astype(jnp.bfloat16)
     x = jax.lax.conv_general_dilated(
         x, k[None, None, :, None], (1, 1), [(r, r), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[:, 0]
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32 if bf16 else None)
+    return x[:, 0].astype(out_dtype)
 
 
 def _soft_bins(mag: jax.Array, ang: jax.Array, nbins: int, dtype):
@@ -360,7 +390,13 @@ def _bilinear_flat(flat: jax.Array, ch_idx: jax.Array, ys: jax.Array,
     base = ch_idx * (h * w)
 
     def take(yy, xx):
-        return jnp.take(flat, base + yy * w + xx)
+        # Plain gather indexing, NOT jnp.take: the jnp.take ufunc
+        # dispatch path (jax ufunc_api) segfaulted inside jaxlib during
+        # tracing of this function under x64 in round 4's test runs
+        # (tests/test_features.py::test_shift_repeatability, 3/3 crashes
+        # per-file).  Indices are in-bounds by construction (xs/ys are
+        # clipped above, so x0+1 <= w-1), so the semantics are identical.
+        return flat[base + yy * w + xx]
 
     return ((1 - fy) * (1 - fx) * take(y0, x0)
             + (1 - fy) * fx * take(y0, x0 + 1)
@@ -384,6 +420,24 @@ def _dense_stage(gauss, glev, xr, yr, sigma, peak_val, valid,
     K = xr.shape[0]
     glev_c = jnp.clip(glev, 1, S)
 
+    # Half-resolution channel plan (see SiftOptions.dense_half_res): the
+    # soft-binned gradient channels are 2x2 average-pooled before the
+    # window filters, so all channel conv/sample traffic runs on a
+    # quarter of the pixels; kernels shrink by 2x to match.  Half-res
+    # pixel (i, j) is centered at full-res (2i + 0.5, 2j + 0.5), so a
+    # full-res sample coordinate x maps to (x - 0.5) / 2.
+    half = opts.dense_half_res
+    hs, ws = ((h + 1) // 2, (w + 1) // 2) if half else (h, w)
+    ksc = 0.5 if half else 1.0
+
+    def _pool2(ch):
+        chp = jnp.pad(ch, ((0, 0), (0, 2 * hs - h), (0, 2 * ws - w)),
+                      mode="edge")
+        return chp.reshape(ch.shape[0], hs, 2, ws, 2).mean((2, 4))
+
+    def _coord(v):
+        return (v - 0.5) * 0.5 if half else v
+
     hists = jnp.zeros((K, NB), dtype)
     desc_levels = []
     for l in range(1, S + 1):
@@ -397,21 +451,28 @@ def _dense_stage(gauss, glev, xr, yr, sigma, peak_val, valid,
         # Orientation: Gaussian-window histogram == Gaussian filter of the
         # soft-binned magnitude channels, evaluated at the keypoint.
         ch36 = _soft_bins(mag, ang, NB, dtype)
-        ch36 = _channel_filter(ch36, _gauss_kernel1d(1.5 * sigl, dtype))
+        if half:
+            ch36 = _pool2(ch36)
+        ch36 = _channel_filter(ch36,
+                               _gauss_kernel1d(1.5 * sigl * ksc, dtype),
+                               bf16=opts.dense_bf16)
         flat36 = ch36.reshape(-1)
         bins = jnp.arange(NB, dtype=jnp.int32)
         hist_l = _bilinear_flat(
             flat36, jnp.broadcast_to(bins, (K, NB)),
-            jnp.broadcast_to(yr[:, None], (K, NB)),
-            jnp.broadcast_to(xr[:, None], (K, NB)), h, w)
+            jnp.broadcast_to(_coord(yr)[:, None], (K, NB)),
+            jnp.broadcast_to(_coord(xr)[:, None], (K, NB)), hs, ws)
         hists = hists + jnp.where((glev_c == l)[:, None], hist_l, 0.0)
 
         # Descriptor: spatial-bin pooling == tent filter at the bin pitch
         # (3 sigma_l px) of the 8 soft-binned channels.
         ch8 = _soft_bins(mag, ang, NBO, dtype)
+        if half:
+            ch8 = _pool2(ch8)
         desc_levels.append(
-            _channel_filter(ch8, _tent_kernel1d(3.0 * sigl, dtype)))
-    dstack = jnp.stack(desc_levels).reshape(-1)  # (S*NBO*H*W,)
+            _channel_filter(ch8, _tent_kernel1d(3.0 * sigl * ksc, dtype),
+                            bf16=opts.dense_bf16))
+    dstack = jnp.stack(desc_levels).reshape(-1)  # (S*NBO*hs*ws,)
 
     theta, ori_valid = _orientation_peaks(hists, opts, dtype)
 
@@ -440,9 +501,11 @@ def _dense_stage(gauss, glev, xr, yr, sigma, peak_val, valid,
     s = _bilinear_flat(
         dstack,
         jnp.broadcast_to(ch_off, (Ke, 16, NBO)),
-        jnp.broadcast_to((yr_e[:, None] + v)[:, :, None], (Ke, 16, NBO)),
-        jnp.broadcast_to((xr_e[:, None] + u)[:, :, None], (Ke, 16, NBO)),
-        h, w)  # (Ke, 16, 8) absolute-orientation bin masses
+        jnp.broadcast_to(_coord(yr_e[:, None] + v)[:, :, None],
+                         (Ke, 16, NBO)),
+        jnp.broadcast_to(_coord(xr_e[:, None] + u)[:, :, None],
+                         (Ke, 16, NBO)),
+        hs, ws)  # (Ke, 16, 8) absolute-orientation bin masses
 
     # Rotate the orientation channels by theta (circular linear interp).
     rot = (th_e * (NBO / (2.0 * math.pi))) % NBO
@@ -715,6 +778,15 @@ def extract_sift(image: jax.Array, opts: SiftOptions = SiftOptions()):
     keeps the largest sigmas (the reference's ExtractTopScaleFeatures,
     ``feature.cc:79-114``) and "response" keeps the strongest |DoG| peaks.
     """
+    # SIFT runs f32 regardless of the process x64 flag: the reference
+    # (VLFeat, sift.cc) is float32 throughout and the descriptor
+    # quantizes to uint8, so f64 buys nothing — and f64 conv/gather
+    # kernels on XLA:CPU segfault flakily in this jaxlib (~30 % of
+    # extracts; delayed heap-corruption signature with crash sites in
+    # later compiles).  Repro + config table: tools/repro_sift_segv.py,
+    # reports/sift_segv_r5.md.
+    if image.dtype == jnp.float64:
+        image = image.astype(jnp.float32)
     dtype = image.dtype
     base = image
     if opts.first_octave < 0:

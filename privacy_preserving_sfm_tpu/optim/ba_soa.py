@@ -172,7 +172,7 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
     pmask = problem.point_mask.astype(dtype)  # (P,)
 
     use_gram_kernel = (jax.default_backend() != "cpu"
-                       and schur_pcg.gram_fits(C, K)
+                       and schur_pcg.gram_soa_fits(C, K)
                        and options.gram_mode != "xla")
     import os as _os
     use_pallas_pcg = (jax.default_backend() != "cpu"

@@ -127,15 +127,33 @@ def pcg_xla(S: jax.Array, Minv: jax.Array, rhs: jax.Array,
 
 
 def gram_fits(num_cams: int, k_bucket: int) -> bool:
-    """True when ``gram_fused`` supports the problem shape.
+    """True when the AoS ``gram_fused`` kernel supports the problem shape.
 
     C_pad = 128 runs 512-point tiles; C_pad = 256 shrinks the tile to 128
     points so the 18 V panels + the (1536, 1536) Gram accumulator still
-    fit in VMEM (~12 MB).  C > 256 exceeds ``explicit_fits`` anyway (the
-    implicit-Schur path takes over).  The per-k unrolled V build caps the
-    track bucket (K > 16 would blow up both VPU time and Mosaic unroll).
+    fit in VMEM (~12 MB).  The AoS kernel stops at C_pad = 256 — its
+    (P, K*18) HBM repack layout was only ever validated there; the SoA
+    path (``gram_soa_fits``) carries 256 < C <= 512, matching the
+    ``explicit_fits`` ceiling.  The per-k unrolled V build caps the track
+    bucket (K > 16 would blow up both VPU time and Mosaic unroll).
     """
     return num_cams <= 2 * _LANE and k_bucket <= 16
+
+
+def gram_soa_fits(num_cams: int, k_bucket: int) -> bool:
+    """True when the SoA ``gram_soa`` Pallas kernel supports the shape.
+
+    Residents at the C_pad = 512 ceiling (TP = 128 point tiles): the
+    (6*C_pad, 6*C_pad) f32 Gram accumulator is 37.8 MB and the 18
+    (C_pad, TP) V panels 4.7 MB — inside the kernel's 100 MB
+    ``vmem_limit_bytes``, and exactly the ``explicit_fits`` analysis.
+    Round 4 gated this at 256 out of caution; round 5 validated
+    C_pad in {384, 512} against ``gram_soa_xla`` on the v5e
+    (tests/test_ba_soa.py::test_gram_soa_large_c), so box300-scale
+    globals (C buckets 320/384) now run the fused kernel instead of the
+    XLA fallback.  Same K <= 16 unroll cap as ``gram_fits``.
+    """
+    return num_cams <= 4 * _LANE and k_bucket <= 16
 
 
 def _gram_kernel(lh_ref, gl_ref, cam_ref, g_ref, r_ref, *,

@@ -277,46 +277,6 @@ class IncrementalMapperController:
             rec.write_text(path)
             self._log(f"  => Snapshot written to {path}")
 
-    def _start_ba_prewarm(self):
-        """Race the SoA-LM compile grid ahead of the reconstruction.
-
-        Accelerator only (CPU compiles are fast and CPU cores ARE the
-        mapper's host resource); one daemon thread per process; joined
-        implicitly at process exit.  See
-        ``incremental_mapper.prewarm_ba_kernels``.
-        """
-        import os
-        import threading
-
-        import jax
-
-        # OFF by default: on the tunneled v5e the prewarm thread's dummy
-        # solves ran CONCURRENTLY with the init kernel and crashed the
-        # TPU worker (2026-08-20, box50 run — same in-context fault class
-        # as the round-3 fused-PCG demotion, e0b7a29).  The compile-key
-        # diet makes the remaining first-use cost small enough to eat
-        # inline; re-enable to experiment on hardware that tolerates
-        # concurrent submission.
-        if os.environ.get("PPSFM_BA_PREWARM") != "1":
-            return
-        if jax.default_backend() == "cpu":
-            return
-        if getattr(IncrementalMapperController, "_prewarm_started", False):
-            return
-        IncrementalMapperController._prewarm_started = True
-        cams = self.database_cache.cameras
-        cam0 = cams[sorted(cams)[0]]
-        from privacy_preserving_sfm_tpu.sfm.incremental_mapper import (
-            prewarm_ba_kernels,
-        )
-
-        t = threading.Thread(
-            target=prewarm_ba_kernels,
-            args=(cam0.model, len(cam0.params),
-                  self.options.local_ba_options()),
-            daemon=True, name="ba-prewarm")
-        t.start()
-
     # -- main reconstruction loop ---------------------------------------
 
     def reconstruct(self, init_mapper_options: MapperOptions):
@@ -325,7 +285,6 @@ class IncrementalMapperController:
         # all-images-covered stop (``controllers/incremental_mapper.cc:
         # 388-390,536-540,585-589``).
         mapper = IncrementalMapper(self.database_cache)
-        self._start_ba_prewarm()
 
         for num_trials in range(self.options.init_num_trials):
             rec = self.database_cache.to_reconstruction()

@@ -76,66 +76,17 @@ _JIT_INIT: Dict = {}
 _JIT_BA: Dict = {}
 _BA_SEEN: Set = set()
 
-# (C, P, K) grid of SoA-BA problem shapes the mapper's coarse buckets can
-# produce on a typical run, in likely-first-use order (locals before
-# globals).  prewarm_ba_kernels walks it in a daemon thread.
-_PREWARM_GRID = (
-    (16, 8192, 16), (16, 8192, 32), (32, 8192, 32), (16, 8192, 128),
-    (32, 8192, 128), (64, 8192, 128), (64, 8192, 32), (64, 16384, 128),
-    (128, 16384, 128), (64, 16384, 32),
-)
-
-
-def prewarm_ba_kernels(camera_model: str, n_params: int,
-                       ba_options: "ba_mod.BAOptions",
-                       grid=_PREWARM_GRID,
-                       stop=None) -> None:
-    """Compile the SoA LM kernel for the expected shape grid.
-
-    First use of a (C, P, K) shape mid-mapper costs ~7 s (trace +
-    compile-cache load through the TPU tunnel) while the solve itself
-    costs ~0.3 s — so the controller runs this in a daemon thread racing
-    ahead of the reconstruction (reports/ba_key_diet_r4.md).  Each warm
-    call runs ONE LM iteration on a dummy problem (the iteration cap is a
-    traced scalar), so device time per shape is milliseconds.  Thread-safe
-    against the mapper: hitting the same jit callable concurrently at
-    worst compiles twice.
-    """
-    from privacy_preserving_sfm_tpu.optim import ba_dense, ba_soa, schur_pcg
-
-    opts_static = ba_mod.DynamicBAOptions.strip(ba_options)
-    dyn1 = ba_mod.DynamicBAOptions.from_options(
-        ba_options)._replace(max_iterations=jnp.asarray(1, jnp.int32))
-    for C, P, K in grid:
-        if stop is not None and stop.is_set():
-            return
-        if not schur_pcg.explicit_fits(C):
-            continue
-        ba_key = ("soa", (P, K), C, P, camera_model, opts_static)
-        dummy = ba_dense.DenseBAProblem(
-            qvecs=jnp.concatenate([jnp.ones((C, 1)), jnp.zeros((C, 3))], 1),
-            tvecs=jnp.concatenate(
-                [jnp.zeros((C, 2)), jnp.full((C, 1), 5.0)], 1),
-            cam_params=jnp.ones((C, n_params)),
-            points3d=jnp.asarray(
-                np.random.default_rng(0).normal(size=(P, 3))),
-            obs_cam=jnp.zeros((P, K), jnp.int32),
-            obs_line=jnp.concatenate(
-                [jnp.ones((P, K, 1)), jnp.zeros((P, K, 2))], -1),
-            obs_weight=jnp.ones((P, K)),
-            cam_dof_mask=jnp.ones((C, 6)),
-            point_mask=jnp.ones(P),
-            cam_gather=jnp.zeros((C, 1), jnp.int32),
-            cam_gather_mask=jnp.zeros((C, 1)))
-        if ba_key not in _JIT_BA:
-            _JIT_BA[ba_key] = jax.jit(
-                lambda prob, dy, m=camera_model, o=opts_static:
-                ba_soa.bundle_adjust_soa(prob, m, o, dynamic=dy))
-        try:
-            out = _JIT_BA[ba_key](dummy, dyn1)
-            jax.block_until_ready(out)
-        except Exception:  # noqa: BLE001 — prewarm must never kill a run
-            return
+# NOTE on kernel prewarming: round 4 shipped a daemon thread racing the
+# SoA-LM compile grid ahead of the reconstruction (372ab77).  Its dummy
+# solves dispatched CONCURRENTLY with the mapper's init kernel and
+# crashed the tunneled-v5e TPU worker (same in-context fault class as
+# the round-3 fused-PCG demotion, e0b7a29) — this backend does not
+# tolerate concurrent submission from two host threads of one process.
+# Removed in round 5: with the compile-key diet (coarse shape buckets,
+# reports/ba_key_diet_r4.md) plus the persistent compile cache, first
+# use of a shape costs a one-off ~7 s cache load per machine, which is
+# cheaper than the risk.  `tools/repro_concurrent_dispatch.py` holds the
+# minimal repro of the underlying fault.
 
 
 class IncrementalMapper:

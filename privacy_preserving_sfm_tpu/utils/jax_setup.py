@@ -37,14 +37,27 @@ def _machine_tag() -> str:
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
-    import jax
+    """Enable XLA's persistent compile cache, scoped so stale entries are
+    unreachable rather than deserialized-and-crashed.
 
+    Scope key = CPU-ISA fingerprint + jaxlib version + x64 flag: round 4
+    observed a segfault inside ``jax/_src/compilation_cache.py`` while
+    deserializing an entry written under a different configuration; the
+    cache key jax computes does not cover every axis that matters on this
+    backend, so we partition the directory instead.  Thresholds sit at
+    jax's defaults (min_compile_time 1.0 s) instead of round 3's
+    aggressive 0.2 s/0 bytes — tiny entries cost more in (risky) reads
+    than they save in compiles.
+    """
+    import jax
+    import jaxlib
+
+    x64 = "x64" if jax.config.jax_enable_x64 else "x32"
+    tag = f"{_machine_tag()}_{jaxlib.__version__}_{x64}"
     path = path or os.environ.get(
         "PPSFM_JAX_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     f"ppsfm_jax_{_machine_tag()}"))
+        os.path.join(os.path.expanduser("~"), ".cache", f"ppsfm_jax_{tag}"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path

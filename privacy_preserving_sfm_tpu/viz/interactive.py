@@ -9,8 +9,9 @@ file with the model embedded (base64 Float32Array) and a dependency-free
 canvas renderer — orbit (drag), pan (right-drag / shift-drag), zoom
 (wheel), color-by selector (track length / reprojection error / depth,
 the same three scalars ``viz/render.py`` rasterizes), camera frusta with
-per-camera highlight, and point-size control.  Open it in any browser;
-no server, no network, no Qt.
+click-to-highlight (click a camera center: its frustum lights up and the
+image name shows bottom-left), and point-size control.  Open it in any
+browser; no server, no network, no Qt.
 
 ``ppsfm model_viewer --html out.html`` produces it from a model dir.
 """
@@ -33,7 +34,10 @@ def _b64(arr: np.ndarray) -> str:
 def export_html(rec, out_path: str, max_points: int = 200_000) -> str:
     """Write a standalone interactive viewer for ``rec`` to ``out_path``."""
     pids = sorted(rec.points3d)
-    if len(pids) > max_points:  # decimate uniformly, keep longest tracks
+    if len(pids) > max_points:
+        # Biased decimation by design: keep the max_points longest-track
+        # points (the best-constrained structure), unlike render.py's
+        # uniform stride — an overview artifact wants the stable points.
         order = np.argsort([-len(rec.points3d[p].track) for p in pids])
         pids = [pids[i] for i in order[:max_points]]
     xyz = (np.stack([rec.points3d[p].xyz for p in pids])
@@ -60,6 +64,7 @@ def export_html(rec, out_path: str, max_points: int = 200_000) -> str:
     payload = {
         "xyz": _b64(xyz), "track": _b64(track), "error": _b64(error),
         "frusta": _b64(frusta.reshape(-1, 3)),
+        "centers": _b64(centers),
         "n_points": int(len(pids)), "n_images": len(reg),
         "names": names,
         "stats": {
@@ -68,7 +73,11 @@ def export_html(rec, out_path: str, max_points: int = 200_000) -> str:
             "mean_error_px": float(error.mean()) if len(error) else 0.0,
         },
     }
-    html = _TEMPLATE.replace("__PAYLOAD__", json.dumps(payload))
+    # Escape '<' so dataset-controlled strings (image names) can never
+    # close the <script> element — the artifact must stay inert HTML
+    # whatever the inputs were called.
+    html = _TEMPLATE.replace(
+        "__PAYLOAD__", json.dumps(payload).replace("<", "\\u003c"))
     with open(out_path, "w") as f:
         f.write(html)
     return out_path
@@ -98,6 +107,9 @@ _TEMPLATE = r"""<!DOCTYPE html>
 const D=__PAYLOAD__;
 const f32=s=>new Float32Array(Uint8Array.from(atob(s),c=>c.charCodeAt(0)).buffer);
 const P=f32(D.xyz),TR=f32(D.track),ER=f32(D.error),FR=f32(D.frusta);
+const CC=f32(D.centers),NC=D.n_images,
+      SEG=NC?(FR.length/6)/NC:0; // frustum segments per camera
+let hi=-1; // highlighted camera index
 const N=D.n_points;
 document.getElementById('stats').textContent=
  D.stats.images+' imgs · '+D.stats.points+' pts · track '+
@@ -163,17 +175,38 @@ function draw(){
    px[o+3]=255;}}
  ctx.putImageData(img,0,0);
  if(document.getElementById('fr').checked){
-  ctx.strokeStyle='rgba(150,170,255,0.55)';ctx.lineWidth=1;
-  ctx.beginPath();
-  for(let s=0;s<FR.length/6;s++){
-   const a=proj(FR[6*s],FR[6*s+1],FR[6*s+2],M),
-         b=proj(FR[6*s+3],FR[6*s+4],FR[6*s+5],M);
-   if(!a||!b)continue;
-   ctx.moveTo(a[0],a[1]);ctx.lineTo(b[0],b[1]);}
-  ctx.stroke();}}
-let drag=null;
-cv.onmousedown=e=>drag=[e.clientX,e.clientY,e.shiftKey||e.button===2];
-addEventListener('mouseup',()=>drag=null);
+  for(const pass of [0,1]){ // normal frusta, then the highlighted one
+   ctx.strokeStyle=pass?'#ffd24d':'rgba(150,170,255,0.55)';
+   ctx.lineWidth=pass?2:1;
+   ctx.beginPath();
+   for(let s=0;s<FR.length/6;s++){
+    const ishi=SEG>0&&((s/SEG)|0)===hi;
+    if(ishi!==!!pass)continue;
+    const a=proj(FR[6*s],FR[6*s+1],FR[6*s+2],M),
+          b=proj(FR[6*s+3],FR[6*s+4],FR[6*s+5],M);
+    if(!a||!b)continue;
+    ctx.moveTo(a[0],a[1]);ctx.lineTo(b[0],b[1]);}
+   ctx.stroke();}}}
+function pickCam(ex,ey){ // nearest projected camera center within 14px
+ const cyw=Math.cos(yaw),syw=Math.sin(yaw),
+       cp=Math.cos(pitch),sp=Math.sin(pitch);
+ const M=[cyw,0,syw, syw*sp,cp,-cyw*sp, -syw*cp,sp,cyw*cp];
+ let best=-1,bd=14;
+ for(let i=0;i<NC;i++){
+  const p=proj(CC[3*i],CC[3*i+1],CC[3*i+2],M);if(!p)continue;
+  const d=Math.hypot(p[0]-ex,p[1]-ey);
+  if(d<bd){bd=d;best=i;}}
+ return best;}
+let drag=null,downAt=null;
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey||e.button===2];
+ downAt=[e.clientX,e.clientY];};
+addEventListener('mouseup',e=>{
+ if(downAt&&Math.hypot(e.clientX-downAt[0],e.clientY-downAt[1])<3){
+  hi=pickCam(e.clientX,e.clientY); // click (not drag): pick a camera
+  document.getElementById('name').textContent=
+   hi>=0?('camera '+hi+': '+D.names[hi]):'';
+  draw();}
+ drag=null;downAt=null;});
 cv.oncontextmenu=e=>e.preventDefault();
 addEventListener('mousemove',e=>{if(!drag)return;
  const dx=e.clientX-drag[0],dy=e.clientY-drag[1];

@@ -186,8 +186,9 @@ def test_bucket_cams_covers_every_count():
     """Regression: the C ladder must never pad BELOW the camera count.
 
     Round 4 hit an IndexError at the first box300 161-camera global BA:
-    the 129..170 rung returned 160, smaller than n_cam (the SoA regime
-    boundary is 170 = floor(1024/6), not 160)."""
+    the 129..170 rung returned 160, smaller than n_cam.  The shipped
+    ladder (eb06894) is 16/64/128 then multiples of 64, keeping every
+    rung up to 512 inside the SoA explicit-Schur regime."""
     from privacy_preserving_sfm_tpu.sfm.incremental_mapper import _bucket_cams
 
     prev = 0
@@ -196,10 +197,14 @@ def test_bucket_cams_covers_every_count():
         assert c >= n, (n, c)
         assert c >= prev, (n, c, prev)  # monotone: keys only accrue
         prev = c
-    # Spot-check the intended rungs.
+    # Spot-check the intended rungs (multiples of 64 past 128).
     assert _bucket_cams(10) == 16
     assert _bucket_cams(64) == 64
     assert _bucket_cams(100) == 128
-    assert _bucket_cams(161) == 170
+    assert _bucket_cams(161) == 192
     assert _bucket_cams(171) == 192
     assert _bucket_cams(300) == 320
+    # Boundary cases around the C<=512 SoA explicit-Schur ceiling.
+    assert _bucket_cams(449) == 512
+    assert _bucket_cams(512) == 512
+    assert _bucket_cams(513) == 576

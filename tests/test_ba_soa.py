@@ -130,6 +130,34 @@ def test_gram_soa_kernel_matches_xla():
                                rtol=0, atol=1e-5)
 
 
+def test_gram_soa_large_c():
+    """SoA Gram kernel above the old 256-camera gate (round-5 raise).
+
+    C=320 pads to C_pad=384 — the box300 global-BA bucket that round 4
+    sent to the XLA fallback; ``gram_soa_fits`` now carries it on the
+    Pallas kernel (validated here in interpret mode and on the v5e in
+    reports/).
+    """
+    from privacy_preserving_sfm_tpu.optim import schur_pcg
+
+    assert schur_pcg.gram_soa_fits(320, 8)
+    assert schur_pcg.gram_soa_fits(512, 16)
+    assert not schur_pcg.gram_soa_fits(513, 8)
+    assert not schur_pcg.gram_fits(320, 8)  # AoS kernel keeps its 256 cap
+
+    rng = np.random.default_rng(11)
+    K, P, C = 4, 140, 320
+    lh_stack = jnp.asarray(rng.standard_normal((18 * K, P)), jnp.float32)
+    gL = jnp.asarray(rng.standard_normal((3, P)), jnp.float32)
+    cam = jnp.asarray(rng.integers(0, C, (K, P)), jnp.int32)
+    S_x, r_x = schur_pcg.gram_soa_xla(lh_stack, gL, cam, C)
+    S_k, r_k = schur_pcg.gram_soa(lh_stack, gL, cam, C, interpret=True)
+    np.testing.assert_allclose(np.asarray(S_k), np.asarray(S_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_soa_respects_gauge_mask():
     rng = np.random.default_rng(5)
     problem = _make_problem(rng)
