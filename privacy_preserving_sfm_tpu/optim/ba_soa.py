@@ -40,6 +40,11 @@ from privacy_preserving_sfm_tpu.ops import lie, lines as line_ops
 from privacy_preserving_sfm_tpu.optim import ba as ba_mod
 from privacy_preserving_sfm_tpu.optim import ba_dense, schur_pcg
 
+# Element-count ceiling for the resident (K*P, C) camera one-hot; above
+# it gather_obs scans transient chunks (tests lower it to exercise the
+# chunked path at toy sizes).
+_ONEHOT_CHUNK_LIMIT = 1 << 28
+
 
 def _res_scalar(dc, dX, q, t, Xp, par, l0, l1, l2, camera_model):
     """Per-observation residual (r1, r2) from scalar components."""
@@ -167,36 +172,67 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
     oc_kp = problem.obs_cam.T  # (K, P)
     w_kp = problem.obs_weight.T.astype(dtype)  # (K, P)
     l_comps = tuple(problem.obs_line[..., i].T for i in range(3))
-    onehot_n = jax.nn.one_hot(oc_kp.reshape(-1), C, dtype=dtype)  # (K*P, C)
+    # The static one-hot that backs the MXU camera gather is (K*P, C)
+    # resident; past ~1 GiB (the >512-camera regime) it is rebuilt in
+    # transient chunks inside gather_obs instead.
+    chunked_onehot = K * P * C > _ONEHOT_CHUNK_LIMIT
+    onehot_n = None if chunked_onehot else \
+        jax.nn.one_hot(oc_kp.reshape(-1), C, dtype=dtype)  # (K*P, C)
+    _OC_CH = 1 << 15
+    if chunked_onehot:
+        kp_pad = -(-(K * P) // _OC_CH) * _OC_CH
+        oc_chunks = jnp.pad(oc_kp.reshape(-1), (0, kp_pad - K * P),
+                            constant_values=-1).reshape(-1, _OC_CH)
     dof_kp = tuple(problem.cam_dof_mask[:, i][oc_kp] for i in range(6))
     pmask = problem.point_mask.astype(dtype)  # (P,)
 
-    use_gram_kernel = (jax.default_backend() != "cpu"
-                       and schur_pcg.gram_soa_fits(C, K)
+    on_tpu = jax.default_backend() != "cpu"
+    use_gram_kernel = (on_tpu and schur_pcg.gram_soa_fits(C, K)
                        and options.gram_mode != "xla")
+    use_gram_blocked = (not use_gram_kernel and on_tpu
+                        and schur_pcg.gram_soa_blocked_fits(C, K)
+                        and options.gram_mode != "xla")
     import os as _os
     use_pallas_pcg = (jax.default_backend() != "cpu"
                       and _os.environ.get("PPSFM_PCG", "xla") == "fused")
 
     n_par = problem.cam_params.shape[1]
 
+    def _onehot_gather(mat_rc):
+        """(R, C) camera-indexed rows -> (R, K*P) per-observation values.
+
+        One MXU contraction against the one-hot does ALL the camera
+        gathers at once (random row-gathers are scalar-unit-bound on TPU
+        and XLA rematerializes them into every consumer fusion).
+        HIGHEST precision: the TPU's default bf16 single-pass matmul
+        would round the gathered quaternions; with the hi+lo split the
+        one-hot selection is f32-exact.  In the chunked (>512-camera)
+        regime transient (CH, C) one-hots are scanned instead (id -1
+        padding rows select nothing -> zero columns, sliced off).
+        """
+        if chunked_onehot:
+            def chunk(_, oc_c):
+                oh = jax.nn.one_hot(oc_c, C, dtype=dtype)
+                return None, jax.lax.dot_general(
+                    mat_rc, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+            _, gs = jax.lax.scan(chunk, None, oc_chunks)
+            g = jnp.transpose(gs, (1, 0, 2)).reshape(mat_rc.shape[0], -1)
+            return g[:, :K * P]
+        return jax.lax.dot_general(
+            mat_rc, onehot_n, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
     def gather_obs(q, t, X):
         """Per-observation camera quantities as (K, P) component arrays.
 
-        One MXU contraction against the static one-hot does ALL the
-        camera gathers at once (random row-gathers are scalar-unit-bound
-        on TPU and XLA rematerializes them into every consumer fusion);
-        the optimization barrier pins the result so downstream fusions
-        re-READ it instead of re-gathering.
+        The optimization barrier pins the gathered block so downstream
+        fusions re-READ it instead of re-gathering (see _onehot_gather).
         """
         qt = jnp.concatenate([q, t, problem.cam_params], axis=1).T  # (R, C)
-        # HIGHEST precision: the TPU's default bf16 single-pass matmul
-        # would round the gathered quaternions; with the hi+lo split the
-        # one-hot selection is f32-exact.
-        g = jax.lax.dot_general(qt, onehot_n, (((1,), (1,)), ((), ())),
-                                preferred_element_type=dtype,
-                                precision=jax.lax.Precision.HIGHEST)
-        g = jax.lax.optimization_barrier(g)
+        g = jax.lax.optimization_barrier(_onehot_gather(qt))
         cam_comps = tuple(g[i].reshape(K, P) for i in range(7 + n_par))
         X_comps = tuple(jnp.broadcast_to(X[:, i][None], (K, P))
                         for i in range(3))
@@ -236,9 +272,24 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
                     for i in range(6) for j in range(i, 6)]
         cam_rows += [(jc[i] * r1 + jc[6 + i] * r2) * w for i in range(6)]
         stackc = jnp.stack([c.reshape(-1) for c in cam_rows])  # (27, K*P)
-        cam_sums = jax.lax.dot_general(
-            stackc, onehot_n, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype)  # (27, C)
+        if chunked_onehot:
+            kp_pad = oc_chunks.size
+            stackp = jnp.pad(stackc, ((0, 0), (0, kp_pad - K * P))) \
+                .reshape(27, -1, _OC_CH).transpose(1, 0, 2)
+
+            def csum(acc, xs):
+                st_c, oc_c = xs
+                oh = jax.nn.one_hot(oc_c, C, dtype=dtype)
+                return acc + jax.lax.dot_general(
+                    st_c, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype), None
+
+            cam_sums, _ = jax.lax.scan(
+                csum, jnp.zeros((27, C), dtype), (stackp, oc_chunks))
+        else:
+            cam_sums = jax.lax.dot_general(
+                stackc, onehot_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)  # (27, C)
         return cost, hpp, gp, hcp, cam_sums
 
     # Static row permutation expanding the 21 upper-tri components to the
@@ -288,6 +339,10 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
             S_corr, rhs_corr = schur_pcg.gram_soa(
                 lh_stack, gL, oc_kp, C,
                 precision=options.schur_precision)
+        elif use_gram_blocked:
+            S_corr, rhs_corr = schur_pcg.gram_soa_blocked(
+                lh_stack, gL, oc_kp, C,
+                precision=options.schur_precision)
         else:
             S_corr, rhs_corr = schur_pcg.gram_soa_xla(
                 lh_stack, gL, oc_kp, C,
@@ -308,11 +363,7 @@ def bundle_adjust_soa(problem: ba_dense.DenseBAProblem, camera_model: str,
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
 
         # Back-substitution: dp = Hpp_inv (gp - E^T dc), all components.
-        # Same MXU one-hot gather as gather_obs (see there).
-        dcg_flat = jax.lax.dot_general(
-            dc.T, onehot_n, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST)  # (6, K*P)
+        dcg_flat = _onehot_gather(dc.T)  # (6, K*P)
         dcg = tuple(dcg_flat[i].reshape(K, P) for i in range(6))
         et = tuple(
             jnp.sum(sum(hcp[i * 3 + a] * dcg[i] for i in range(6)), axis=0)

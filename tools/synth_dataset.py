@@ -116,9 +116,38 @@ def _render_box_view(K, R, t, textures, width, height, cv2, pix=None):
     return img
 
 
+def _degrade(img, rng, cv2, level: float):
+    """Photometric degradation: blur + exposure/gamma jitter + sensor noise.
+
+    The closest available proxy for the reference's real-image protocol
+    (ETH example / Strecha, ``scripts/matlab/ppsfm/evaluation/strecha/
+    run_evaluations.m:35-44``) in an environment with no real dataset:
+    per-image defocus blur (sigma ~ U[0, 0.8*level] px), exposure gain
+    ~ U[1/(1+0.5*level), 1+0.5*level] with gamma ~ U[1/(1+0.3*level),
+    1+0.3*level], additive Gaussian sensor noise (sigma = 4*level gray
+    levels) and a vignetting falloff.  level=1 is a plausible consumer
+    camera; the pipeline must survive it without threshold changes.
+    """
+    h, w = img.shape[:2]
+    out = img.astype(np.float32) / 255.0
+    sig = rng.uniform(0.0, 0.8 * level)
+    if sig > 0.05:
+        out = cv2.GaussianBlur(out, (0, 0), sig)
+    # Vignetting: cos^4-like radial falloff up to 25% * level at corners.
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2) / 2
+    out = out * (1.0 - 0.25 * level * r2)
+    gain = rng.uniform(1.0 / (1 + 0.5 * level), 1 + 0.5 * level)
+    gamma = rng.uniform(1.0 / (1 + 0.3 * level), 1 + 0.3 * level)
+    out = np.clip(gain * np.clip(out, 0, 1) ** gamma, 0, 1)
+    out = out + rng.standard_normal(out.shape).astype(np.float32) \
+        * (4.0 * level / 255.0)
+    return np.clip(out * 255.0, 0, 255).astype(np.uint8)
+
+
 def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
                  f=400.0, seed=0, scene: str = "plane",
-                 camera: str = "SIMPLE_PINHOLE"):
+                 camera: str = "SIMPLE_PINHOLE", degrade: float = 0.0):
     import cv2
     import jax
     jax.config.update("jax_platforms", "cpu")  # data prep is host work
@@ -194,6 +223,8 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
             img = cv2.warpPerspective(tex, H, (width, height),
                                       flags=cv2.INTER_LINEAR,
                                       borderMode=cv2.BORDER_REPLICATE)
+        if degrade > 0:
+            img = _degrade(img, rng, cv2, degrade)
         name = f"img{i:03d}.png"
         cv2.imwrite(os.path.join(outdir, name), img)
         g = R @ np.array([0.0, 1.0, 0.0])
@@ -218,6 +249,7 @@ def make_dataset(outdir: str, num_images: int = 8, width=640, height=480,
                    "camera_params": list(map(float, cam_params)),
                    "plane_S": S, "plane_z0": z0,
                    "plane_ax": ax_c, "plane_ay": ay_c,
+                   "degrade": degrade,
                    "tex_size": tex_size}, fo)
     return outdir
 
@@ -227,5 +259,6 @@ if __name__ == "__main__":
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     kind = sys.argv[3] if len(sys.argv) > 3 else "plane"
     cam = sys.argv[4] if len(sys.argv) > 4 else "SIMPLE_PINHOLE"
-    make_dataset(out, n, scene=kind, camera=cam)
+    deg = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+    make_dataset(out, n, scene=kind, camera=cam, degrade=deg)
     print(f"wrote {n} {kind}/{cam} images to {out}")
