@@ -12,28 +12,35 @@ import os
 
 
 def _machine_tag() -> str:
-    """Short fingerprint of the host CPU feature set.
+    """Short fingerprint of the host CPU feature set + effective ISA cap.
 
     XLA:CPU persists AOT executables specialized to the compile host's
     ISA features; loading them on a machine with a different feature set
     SIGILLs/segfaults (observed: a round-2 cache entry crashed the round-3
     test suite after the session moved hosts).  Scoping the cache dir by
-    this tag makes stale cross-machine entries unreachable.
+    this tag makes stale cross-machine entries unreachable.  The
+    ``--xla_cpu_max_isa`` cap (the round-5 AVX512-miscompile mitigation,
+    reports/sift_segv_r5.md) changes the generated code too, so it joins
+    the fingerprint.
     """
     import hashlib
 
+    isa = ""
+    for tok in os.environ.get("XLA_FLAGS", "").split():
+        if "xla_cpu_max_isa" in tok:
+            isa = tok.split("=")[-1]
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith("flags"):
                     return hashlib.sha1(
-                        " ".join(sorted(line.split()[2:]))
+                        (" ".join(sorted(line.split()[2:])) + isa)
                         .encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
 
-    return platform.machine()
+    return platform.machine() + isa
 
 
 def enable_persistent_cache(path: str | None = None) -> str:

@@ -13,9 +13,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # This jaxlib's XLA:CPU miscompiles some f64 kernels at AVX512/AMX:
+    # flaky heap corruption -> segfaults at later allocation-heavy sites
+    # (round-4 VERDICT weak #2).  Deterministic A/B on the f64 SIFT conv
+    # trigger: default ISA 3/6 crash, AVX2 cap 16/16 clean
+    # (tools/repro_sift_segv.py, reports/sift_segv_r5.md).
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
@@ -28,9 +34,33 @@ from privacy_preserving_sfm_tpu.utils.jax_setup import (  # noqa: E402
     enable_persistent_cache,
 )
 
-enable_persistent_cache()
+# PPSFM_NO_CACHE=1 disables the persistent compile cache (isolation knob
+# for cache-machinery faults; see reports/sift_segv_r5.md).
+if os.environ.get("PPSFM_NO_CACHE") != "1":
+    enable_persistent_cache()
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end test")
+
+
+# The full suite compiles many hundreds of XLA:CPU executables into one
+# process; at a deterministic cumulative point (~145 tests in, crash
+# position identical across cache/ISA/codegen-split configurations) the
+# next compile segfaults inside jaxlib's backend_compile_and_load — the
+# signature of LLVM ORC JIT code-memory/relocation exhaustion, not of any
+# specific computation (every subset of the suite passes in isolation).
+# Dropping executable references every N tests keeps the JIT arena
+# bounded; the persistent compile cache makes the re-compiles cheap
+# loads.  Evidence: reports/sift_segv_r5.md.
+_CLEAR_EVERY = 40
+_test_counter = [0]
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_counter[0] += 1
+    if _test_counter[0] % _CLEAR_EVERY == 0:
+        import jax
+
+        jax.clear_caches()
