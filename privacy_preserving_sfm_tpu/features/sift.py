@@ -431,9 +431,19 @@ def _dense_stage(gauss, glev, xr, yr, sigma, peak_val, valid,
     ksc = 0.5 if half else 1.0
 
     def _pool2(ch):
+        # reduce_window, NOT pad+reshape+mean: the 5-D reshape forces a
+        # transposed HBM copy under the batch vmap (22.6 GB at B=8 on the
+        # upsampled first octave -> compile-time OOM, chain run 2026-08-20).
+        # Pool in bf16 when enabled: the pooled stack is the largest
+        # channel tensor this stage materializes.
+        if opts.dense_bf16:
+            ch = ch.astype(jnp.bfloat16)
         chp = jnp.pad(ch, ((0, 0), (0, 2 * hs - h), (0, 2 * ws - w)),
                       mode="edge")
-        return chp.reshape(ch.shape[0], hs, 2, ws, 2).mean((2, 4))
+        s = jax.lax.reduce_window(chp, jnp.asarray(0, chp.dtype),
+                                  jax.lax.add, (1, 2, 2), (1, 2, 2),
+                                  "VALID")
+        return s * 0.25
 
     def _coord(v):
         return (v - 0.5) * 0.5 if half else v
